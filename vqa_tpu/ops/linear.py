@@ -1,0 +1,133 @@
+"""Weight-normed fully-connected building blocks.
+
+TPU-native equivalents of the reference layers in
+`/root/reference/modules/modules.py`:
+
+- ``WNDense`` — a Linear layer under weight normalization with a *scalar*
+  gain, matching torch ``weight_norm(nn.Linear(...), dim=None)``
+  (modules.py:38,43,49,54): ``W = g * V / ||V||_F`` with ``g`` initialized to
+  ``||V||_F`` so the initial forward equals a plain Linear.
+- ``FCNet`` — N-layer ReLU MLP of weight-normed Linears with dropout between
+  hidden layers and a ReLU after the *last* layer (modules.py:13-60; note the
+  trailing ``layers.append(nn.ReLU())`` at modules.py:55 — the reference's
+  classifier therefore emits non-negative "logits"; we replicate that
+  faithfully, see models/predictor.py).
+- ``LReLUNet`` — bias-free Linear + LeakyReLU (modules.py:62-77).
+- ``DotProduct`` — bilinear similarity ``(a Wa) (b Wb)^T`` (modules.py:80-95),
+  used by the correlated graph conv.
+
+All matmuls run on the MXU; keep inputs 2-D/3-D with the feature axis last so
+XLA tiles them onto the 128x128 systolic array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def torch_linear_uniform(fan_in: int):
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    (kaiming_uniform with a=sqrt(5) reduces to this bound for weights; torch
+    uses the same bound for biases.) Matching the reference init matters for
+    accuracy parity (SURVEY.md section 7.3).
+    """
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class WNDense(nn.Module):
+    """Linear layer with scalar weight normalization (torch dim=None).
+
+    Parameters: direction ``v`` [in, out], scalar gain ``g`` (init ||v||_F),
+    optional bias ``b`` [out]. Forward: ``x @ (g / ||v||_F) v + b``.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        v = self.param("v", torch_linear_uniform(in_dim), (in_dim, self.features))
+        # g initialized to the Frobenius norm of v => initial W == v.
+        g = self.param("g", lambda _key: jnp.sqrt(jnp.sum(v * v)))
+        scale = g * jax.lax.rsqrt(jnp.sum(v * v))
+        kernel = (scale * v).astype(self.dtype or x.dtype)
+        y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
+        if self.use_bias:
+            b = self.param("b", torch_linear_uniform(in_dim), (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class FCNet(nn.Module):
+    """Non-linear fully-connected network (reference modules.py:13-60).
+
+    layer==1 or mid_dim==0:  WNDense(in->out), ReLU
+    else:                    WNDense(in->mid), ReLU, Dropout,
+                             [WNDense(mid->mid), ReLU, Dropout] * (layer-2),
+                             WNDense(mid->out), ReLU
+    """
+
+    out_dim: int
+    mid_dim: int = 0
+    layer: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if self.layer == 1 or self.mid_dim == 0:
+            x = WNDense(self.out_dim, name="fc0")(x)
+            return nn.relu(x)
+        x = nn.relu(WNDense(self.mid_dim, name="fc0")(x))
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.layer - 2):
+            x = nn.relu(WNDense(self.mid_dim, name=f"fc{i + 1}")(x))
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = WNDense(self.out_dim, name=f"fc{self.layer - 1}")(x)
+        return nn.relu(x)
+
+
+class LReLUNet(nn.Module):
+    """Bias-free Linear + LeakyReLU (reference modules.py:62-77)."""
+
+    out_dim: int
+    neg_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        w = self.param("w", torch_linear_uniform(in_dim), (in_dim, self.out_dim))
+        y = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+        return nn.leaky_relu(y, self.neg_slope)
+
+
+class DotProduct(nn.Module):
+    """Bilinear similarity (reference modules.py:80-95).
+
+    a: [batch, a_len, a_dim], b: [batch, b_len, b_dim]
+    -> [batch, a_len, b_len] = (a Wa + ba) @ (b Wb + bb)^T
+    """
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        a_dim, b_dim = a.shape[-1], b.shape[-1]
+        wa = self.param("wa", torch_linear_uniform(a_dim), (a_dim, self.out_dim))
+        ba = self.param("ba", torch_linear_uniform(a_dim), (self.out_dim,))
+        wb = self.param("wb", torch_linear_uniform(b_dim), (b_dim, self.out_dim))
+        bb = self.param("bb", torch_linear_uniform(b_dim), (self.out_dim,))
+        pa = jnp.matmul(a, wa.astype(a.dtype)) + ba.astype(a.dtype)
+        pb = jnp.matmul(b, wb.astype(b.dtype)) + bb.astype(b.dtype)
+        return jnp.einsum("bik,bjk->bij", pa, pb, preferred_element_type=a.dtype)
