@@ -1,0 +1,173 @@
+"""Composition smoke + semantics tests for the model zoo.
+
+Covers every encoder x predictor x decoder configuration from the reference
+model matrix (README.md:20-26): Up-Down VQA, Up-Down captioning, VQA-E
+multi-task, Q-Relevant q-cap, ReGAT relation encoder.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.models.wrapper import (
+    VQAModel, set_model, compute_score, instance_bce_with_logits,
+    ce_for_language_model,
+)
+
+NTOKEN = 50
+V_DIM = 32
+EMBED = 16
+HIDDEN = 24
+DEC_HIDDEN = 20
+ANS = 13
+C_LEN = 8
+Q_LEN = 5
+OBJS = 9
+B = 4
+
+
+def make_batch(rng, graph=False, caption=True):
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((B, OBJS, V_DIM)).astype(np.float32)),
+        "q": jnp.asarray(rng.integers(0, NTOKEN, (B, Q_LEN))),
+        "a": jnp.asarray((rng.random((B, ANS)) < 0.1).astype(np.float32)),
+    }
+    if caption:
+        batch["c"] = jnp.asarray(rng.integers(0, NTOKEN, (B, C_LEN)))
+        batch["cap_len"] = jnp.asarray(rng.integers(2, C_LEN + 1, (B,)))
+    if graph:
+        batch["graph"] = jnp.asarray(rng.integers(0, 12, (B, OBJS, OBJS)))
+    return batch
+
+
+def build(rng, **kw):
+    defaults = dict(
+        encoder_type="base", predictor_type="base", decoder_type="none",
+        ntoken=NTOKEN, v_dim=V_DIM, embed_dim=EMBED, hidden_dim=HIDDEN,
+        decoder_hidden_dim=DEC_HIDDEN, ans_dim=ANS, c_len=C_LEN,
+        dropout=0.1, conv_layer=1,
+    )
+    defaults.update(kw)
+    model = set_model(**defaults)
+    batch = make_batch(rng, graph=defaults["encoder_type"] == "relation",
+                       caption=True)
+    params = model.init(jax.random.key(0), batch)
+    return model, params, batch
+
+
+@pytest.mark.parametrize("att_type", ["base", "new"])
+def test_updown_vqa_forward(rng, att_type):
+    model, params, batch = build(rng, att_type=att_type)
+    predict, caption = model.apply(params, batch)
+    assert caption is None
+    assert predict.shape == (B, ANS)
+    # FCNet classifier ends in ReLU (reference modules.py:55) => non-negative.
+    assert np.all(np.asarray(predict) >= 0)
+
+
+def test_updown_vqa_without_captions(rng):
+    """Plain VQA batches (no captions) must work — reference defect 2.1(3) fixed."""
+    model, params, _ = build(rng)
+    batch = make_batch(rng, caption=False)
+    predict, _ = model.apply(params, batch)
+    assert predict.shape == (B, ANS)
+
+
+@pytest.mark.parametrize("decoder_type", ["base", "butd"])
+def test_caption_decoder_forward(rng, decoder_type):
+    model, params, batch = build(rng, decoder_type=decoder_type,
+                                 predictor_type="none")
+    predict, caption = model.apply(params, batch)
+    assert predict is None
+    assert caption["predict"].shape == (B, C_LEN - 1, NTOKEN)
+    assert caption["target"].shape == (B, C_LEN - 1)
+    # mask rows match cap_len - 1
+    np.testing.assert_array_equal(
+        np.asarray(caption["mask"]).sum(1),
+        np.asarray(batch["cap_len"]) - 1)
+
+
+def test_multitask_loss_and_mtl_logvars(rng):
+    model, params, batch = build(rng, decoder_type="base",
+                                 predictor_type="base-cap", use_mtl=True)
+    assert "log_vars" in params["params"]
+    loss, writes = model.apply(params, batch, method="get_loss",
+                               deterministic=True)
+    assert np.isfinite(float(loss))
+    assert set(writes) == {"train/loss", "train/score", "train/cap/loss"}
+    # with log_vars = 0: loss == loss_vqa + loss_cap
+    np.testing.assert_allclose(
+        float(loss), float(writes["train/loss"] + writes["train/cap/loss"]),
+        rtol=1e-5)
+
+
+def test_qcap_predictor(rng):
+    model, params, batch = build(rng, predictor_type="q-cap")
+    predict, _ = model.apply(params, batch)
+    assert predict.shape == (B, ANS)
+    # Sigmoid classifier (reference predictor.py:181-184): output in (0,1).
+    p = np.asarray(predict)
+    assert np.all(p > 0) and np.all(p < 1)
+
+
+@pytest.mark.parametrize("conv_type", ["base", "direct", "corr"])
+def test_relation_encoder(rng, conv_type):
+    model, params, batch = build(rng, encoder_type="relation",
+                                 conv_type=conv_type)
+    predict, _ = model.apply(params, batch)
+    assert predict.shape == (B, ANS)
+    # GCN parameters must be registered (reference defect 2.1(1) fixed).
+    flat = jax.tree_util.tree_leaves_with_path(params["params"])
+    assert any("spatial_encoder" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_dropout_rng_training_mode(rng):
+    model, params, batch = build(rng, decoder_type="base",
+                                 predictor_type="base-cap")
+    loss1, _ = model.apply(params, batch, method="get_loss",
+                           deterministic=False,
+                           rngs={"dropout": jax.random.key(1)})
+    loss2, _ = model.apply(params, batch, method="get_loss",
+                           deterministic=False,
+                           rngs={"dropout": jax.random.key(2)})
+    assert float(loss1) != float(loss2)  # dropout actually active
+
+
+def test_compute_score_matches_soft_metric(rng):
+    predict = jnp.asarray(rng.standard_normal((6, ANS)).astype(np.float32))
+    target = jnp.asarray(rng.random((6, ANS)).astype(np.float32))
+    scores, labels = compute_score(predict, target, get_label=True)
+    want = np.asarray(target)[np.arange(6), np.asarray(predict).argmax(1)]
+    np.testing.assert_allclose(np.asarray(scores).sum(1), want, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(labels),
+                                  np.asarray(predict).argmax(1))
+
+
+def test_bce_matches_torch(rng):
+    import torch
+    predict = rng.standard_normal((5, ANS)).astype(np.float32)
+    target = (rng.random((5, ANS)) < 0.3).astype(np.float32)
+    got = instance_bce_with_logits(jnp.asarray(predict), jnp.asarray(target))
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(predict), torch.from_numpy(target)) * ANS
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_masked_ce_matches_packed_ce(rng):
+    import torch
+    t_len = 7
+    predict = rng.standard_normal((4, t_len, NTOKEN)).astype(np.float32)
+    target = rng.integers(0, NTOKEN, (4, t_len))
+    lens = np.array([7, 3, 5, 1])
+    mask = (np.arange(t_len)[None, :] < lens[:, None]).astype(np.float32)
+    got = ce_for_language_model(jnp.asarray(predict), jnp.asarray(target),
+                                jnp.asarray(mask))
+    # packed equivalent: flatten valid positions only (reference packs via
+    # pack_padded_sequence, generator.py:117-120)
+    rows = np.concatenate([predict[i, :lens[i]] for i in range(4)])
+    tgts = np.concatenate([target[i, :lens[i]] for i in range(4)])
+    want = torch.nn.functional.cross_entropy(torch.from_numpy(rows),
+                                             torch.from_numpy(tgts))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)

@@ -1,0 +1,198 @@
+"""Question/visual encoders.
+
+TPU-native equivalents of `/root/reference/modules/encoder.py`:
+
+- ``BaseEncoder`` (encoder.py:96-183) — Up-Down VQA encoder: word embed ->
+  1-layer GRU question encoding (output of the last *padded* step) -> top-down
+  attention over the 36 boxes -> ``v_att * v`` weighted features; also embeds
+  caption tokens for downstream heads. Unlike the reference, caption inputs
+  are optional (SURVEY.md section 2.1 defect 3: the reference unconditionally
+  reads ``batch['c']`` so the plain VQA dataset crashes; fixed here).
+- ``RelationEncoder`` (encoder.py:186-272) — ReGAT: BaseEncoder + per-relation
+  GCN over the spatial adjacency and/or a fully-connected implicit graph,
+  summed into ``v``.
+- ``CaptionEncoder`` (encoder.py:66-94) — caption-only minimal encoder.
+
+Batch dict convention (all fixed-shape device arrays):
+  ``img`` [B, num_objs, v_dim] float; ``q`` [B, q_len] int32;
+  ``c`` [B, c_len] int32 (optional); ``cap_len`` [B] int32 (optional);
+  ``graph`` [B, num_objs, num_objs] int32 labels (relation encoder only).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vqa_tpu.ops.linear import FCNet
+from vqa_tpu.ops.rnn import SentenceEmbedding
+from vqa_tpu.ops.attention import set_att
+from vqa_tpu.ops.embedding import WordEmbedding
+from vqa_tpu.ops.gcn import GCN
+
+
+class CaptionEncoder(nn.Module):
+    """Caption-only encoder: embeds caption tokens, passes raw v through
+    (encoder.py:66-94)."""
+
+    ntoken: int
+    embed_dim: int
+    frozen_embedding: Optional[np.ndarray] = None
+
+    def setup(self):
+        self.embedding = WordEmbedding(self.ntoken, self.embed_dim,
+                                       frozen_table=self.frozen_embedding,
+                                       name="embedding")
+
+    def embed(self, tokens: jax.Array) -> jax.Array:
+        return self.embedding(tokens)
+
+    def __call__(self, batch: Dict[str, jax.Array], *, deterministic: bool = True
+                 ) -> Dict[str, Any]:
+        out = {"v": batch["img"]}
+        if "c" in batch:
+            out["c"] = self.embedding(batch["c"])
+            out["c_target"] = batch["c"]
+            out["cap_len"] = batch["cap_len"]
+        return out
+
+
+class BaseEncoder(nn.Module):
+    """Up-Down VQA encoder (encoder.py:96-183)."""
+
+    ntoken: int
+    embed_dim: int
+    hidden_dim: int
+    rnn_layer: int = 1
+    dropout: float = 0.5
+    rnn_type: str = "GRU"
+    att_type: str = "base"
+    frozen_embedding: Optional[np.ndarray] = None
+
+    def setup(self):
+        self.embedding = WordEmbedding(self.ntoken, self.embed_dim,
+                                       frozen_table=self.frozen_embedding,
+                                       name="embedding")
+        self.q_rnn = SentenceEmbedding(self.hidden_dim, rnn_layer=self.rnn_layer,
+                                       dropout=0.0, rnn_type=self.rnn_type,
+                                       name="q_rnn")
+        self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
+                                                name="attention")
+        self.q_net = FCNet(self.hidden_dim, name="q_net")
+
+    def embed(self, tokens: jax.Array) -> jax.Array:
+        """Expose the word embedding for decoders / beam search
+        (mirrors model.encoder.embedding use at tools/caption.py:93)."""
+        return self.embedding(tokens)
+
+    def base_forward(self, batch: Dict[str, jax.Array], *,
+                     deterministic: bool = True) -> Dict[str, Any]:
+        v = batch["img"]
+        q = self.embedding(batch["q"])                 # [B, q_len, embed]
+        q = self.q_rnn(q, deterministic=deterministic)  # [B, hidden] (last padded step)
+        v_att = self.attention(v, q, deterministic=deterministic)  # [B, objs, 1]
+        v = v_att * v
+        q = self.q_net(q, deterministic=deterministic)
+        out = {"v": v, "q": q, "v_att": v_att}
+        if "c" in batch:
+            out["c"] = self.embedding(batch["c"])
+            out["c_target"] = batch["c"]
+            out["cap_len"] = batch["cap_len"]
+        return out
+
+    def __call__(self, batch, *, deterministic: bool = True):
+        return self.base_forward(batch, deterministic=deterministic)
+
+
+class RelationEncoder(BaseEncoder):
+    """ReGAT spatial/implicit relation encoder (encoder.py:186-272)."""
+
+    conv_layer: int = 1
+    conv_type: str = "corr"
+    use_imp: bool = False
+    use_spa: bool = True
+    use_sem: bool = False  # semantic relations: reference stub (relation.py:48-62)
+    num_objs: int = 36
+    v_dim: int = 2048
+
+    def setup(self):
+        super().setup()
+        assert self.use_imp or self.use_spa or self.use_sem, \
+            "Should use at least one relation"
+        if self.use_imp:
+            self.implicit_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
+                                        conv_type=self.conv_type,
+                                        dropout=self.dropout,
+                                        name="implicit_encoder")
+        if self.use_spa:
+            self.spatial_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
+                                       conv_type=self.conv_type,
+                                       dropout=self.dropout,
+                                       name="spatial_encoder")
+
+    def __call__(self, batch, graph_alpha: bool = False, *,
+                 deterministic: bool = True):
+        out = self.base_forward(batch, deterministic=deterministic)
+        v = out["v"]
+        batch_size = v.shape[0]
+        output_v = jnp.zeros_like(v)
+        g_att = []
+        if self.use_imp:
+            # Fully-connected graph: ones - eye (encoder.py:232-234).
+            imp = (jnp.ones((self.num_objs, self.num_objs), jnp.int32)
+                   - jnp.eye(self.num_objs, dtype=jnp.int32))
+            imp = jnp.broadcast_to(imp[None], (batch_size, self.num_objs, self.num_objs))
+            new_v = self.implicit_encoder(v, imp, graph_alpha,
+                                          deterministic=deterministic)
+            if graph_alpha:
+                new_v, g_att = new_v
+            output_v = output_v + new_v
+        if self.use_spa:
+            graph = batch["graph"].astype(jnp.int32)
+            new_v = self.spatial_encoder(v, graph, graph_alpha,
+                                         deterministic=deterministic)
+            if graph_alpha:
+                new_v, g_att = new_v
+            output_v = output_v + new_v
+        if graph_alpha:
+            return g_att
+        out["v"] = output_v
+        return out
+
+
+def set_encoder(encoder_type: str,
+                ntoken: int,
+                v_dim: int,
+                embed_dim: int,
+                hidden_dim: int,
+                dropout: float = 0.5,
+                rnn_type: str = "GRU",
+                rnn_layer: int = 1,
+                att_type: str = "base",
+                conv_type: str = "corr",
+                conv_layer: int = 1,
+                frozen_embedding: Optional[np.ndarray] = None) -> nn.Module:
+    """String-keyed encoder factory mirroring encoder.py:10-58.
+
+    ``frozen_embedding`` plays the role of the reference's
+    ``vocab_path``-triggered PretrainedWordEmbedding swap (encoder.py:56-57):
+    pass a GloVe table from ``vqa_tpu.ops.embedding.load_glove_table``.
+    """
+    common = dict(ntoken=ntoken, embed_dim=embed_dim,
+                  frozen_embedding=frozen_embedding)
+    if encoder_type == "base":
+        return BaseEncoder(hidden_dim=hidden_dim, dropout=dropout,
+                           rnn_type=rnn_type, rnn_layer=rnn_layer,
+                           att_type=att_type, **common)
+    if encoder_type == "relation":
+        return RelationEncoder(hidden_dim=hidden_dim, dropout=dropout,
+                               rnn_type=rnn_type, rnn_layer=rnn_layer,
+                               att_type=att_type, conv_type=conv_type,
+                               conv_layer=conv_layer, v_dim=v_dim, **common)
+    if encoder_type == "cap":
+        return CaptionEncoder(**common)
+    raise ValueError(f"unknown encoder_type: {encoder_type}")

@@ -1,0 +1,186 @@
+"""Caption decoders (teacher-forced training + per-step decode for search).
+
+TPU-native equivalents of `/root/reference/modules/generator.py`:
+
+- ``BaseDecoder`` (generator.py:123-190) — Show-Attend-Tell: one GRU/LSTM
+  cell; each step attends over the 36 boxes with the current hidden state and
+  feeds ``[prev_word_embed ; attended_v]`` to the cell.
+- ``BUTDDecoder`` (generator.py:193-267) — Up-Down 2-cell decoder:
+  word RNN -> attention -> language RNN.
+
+TPU-first redesign of the training loop: the reference sorts by caption
+length and shrinks the batch every step (generator.py:75-113), which defeats
+batching and forces dynamic shapes. Here all ``c_len-1`` steps run for the
+full batch with a validity mask; the caption loss masks padded positions
+(packed-CE equivalence, see ``vqa_tpu.models.wrapper.ce_for_language_model``).
+Masked extra steps are cheaper than dynamic shapes on XLA (SURVEY.md
+section 5.7).
+
+Weight init quirks replicated: BaseDecoder's output layer is U(-0.1, 0.1)
+with zero bias (generator.py:173-175); BUTDDecoder defines the same
+``_init_weights`` but never calls it (generator.py:243-247), so its output
+layers keep torch's default Linear init.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vqa_tpu.ops.attention import set_att
+from vqa_tpu.ops.linear import torch_linear_uniform
+from vqa_tpu.ops.rnn import RNNCellBase
+
+
+def _uniform_pm(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class _Dense(nn.Module):
+    """Plain Linear with configurable (torch-style) init, stored [in, out]."""
+
+    features: int
+    w_init: Any = None   # default: torch Linear default
+    b_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        w_init = self.w_init or torch_linear_uniform(in_dim)
+        b_init = self.b_init or torch_linear_uniform(in_dim)
+        w = self.param("w", w_init, (in_dim, self.features))
+        b = self.param("b", b_init, (self.features,))
+        return jnp.matmul(x, w.astype(x.dtype),
+                          preferred_element_type=x.dtype) + b.astype(x.dtype)
+
+
+class DecoderBase(nn.Module):
+    """Shared teacher-forcing driver (generator.py:40-120, masked rewrite)."""
+
+    ntoken: int
+    hidden_dim: int
+    max_len: int
+    dropout: float = 0.5
+    rnn_type: str = "GRU"
+    att_type: str = "base"
+    h_num: int = 1
+
+    def init_hidden(self, batch_size: int, dtype=jnp.float32) -> List:
+        """Zero states; LSTM carries (h, c) pairs (generator.py:45-49)."""
+        init = jnp.zeros((batch_size, self.hidden_dim), dtype)
+        if self.rnn_type == "LSTM":
+            return [(init, init)] * self.h_num
+        return [init] * self.h_num
+
+    def decode(self, v, v_mean, prev, h, *, deterministic: bool = True):
+        raise NotImplementedError
+
+    def __call__(self, batch: Dict[str, Any], *, deterministic: bool = True
+                 ) -> Dict[str, jax.Array]:
+        """Teacher-forced forward over all steps with a validity mask.
+
+        batch needs: 'v' [B, objs, v_dim], 'c' [B, c_len, embed] (embedded
+        caption), 'cap_len' [B], 'c_target' [B, c_len] int tokens.
+        Returns {'predict': [B, c_len-1, ntoken], 'target': [B, c_len-1],
+                 'mask': [B, c_len-1] float}.
+        """
+        v = batch["v"]
+        caption = batch["c"]
+        cap_len = batch["cap_len"]
+        target = batch["c_target"]
+        batch_size = v.shape[0]
+        v_mean = jnp.mean(v, axis=1)
+        steps = self.max_len - 1  # we don't decode at the <end> position
+
+        h = self.init_hidden(batch_size, v.dtype)
+        outputs = []
+        for t in range(steps):
+            h, word, _ = self.decode(v=v, v_mean=v_mean, prev=caption[:, t, :],
+                                     h=h, deterministic=deterministic)
+            outputs.append(word)
+        predict = jnp.stack(outputs, axis=1)          # [B, steps, ntoken]
+        # Step t is valid iff t < cap_len - 1 (generator.py:93,100).
+        mask = (jnp.arange(steps)[None, :] < (cap_len[:, None] - 1))
+        return {
+            "predict": predict,
+            "target": target[:, 1:self.max_len],      # words after <start>
+            "mask": mask.astype(predict.dtype),
+        }
+
+
+class BaseDecoder(DecoderBase):
+    """Show-Attend-Tell single-cell decoder (generator.py:123-190)."""
+
+    h_num: int = 1
+
+    def setup(self):
+        self.rnn = RNNCellBase(self.hidden_dim, self.rnn_type, name="rnn")
+        self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
+                                                name="attention")
+        self.fcnet = _Dense(self.ntoken, w_init=_uniform_pm(0.1),
+                            b_init=nn.initializers.zeros, name="fcnet")
+        self.drop = nn.Dropout(self.dropout)
+
+    def decode(self, v, v_mean, prev, h, *, deterministic: bool = True):
+        """One step: attend with h, feed [prev; att_v] to the cell
+        (generator.py:177-190)."""
+        state = h[0]
+        h0 = state[0] if self.rnn_type == "LSTM" else state
+        att = self.attention(v, h0, deterministic=deterministic)
+        att_v = jnp.sum(att * v, axis=1)
+        state = self.rnn(state, jnp.concatenate([prev, att_v], axis=1))
+        h0 = state[0] if self.rnn_type == "LSTM" else state
+        output = self.fcnet(self.drop(h0, deterministic=deterministic))
+        return [state], output, att
+
+
+class BUTDDecoder(DecoderBase):
+    """Up-Down two-cell decoder (generator.py:193-267)."""
+
+    h_num: int = 2
+
+    def setup(self):
+        self.word_rnn = RNNCellBase(self.hidden_dim, self.rnn_type,
+                                    name="word_rnn")
+        self.language_rnn = RNNCellBase(self.hidden_dim, self.rnn_type,
+                                        name="language_rnn")
+        self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
+                                                name="attention")
+        self.h1_fcnet = _Dense(self.hidden_dim, name="h1_fcnet")
+        self.h2_fcnet = _Dense(self.ntoken, name="h2_fcnet")
+        self.drop = nn.Dropout(self.dropout)
+
+    def decode(self, v, v_mean, prev, h, *, deterministic: bool = True):
+        """word RNN -> h1 FC -> attention -> language RNN -> vocab logits
+        (generator.py:249-267)."""
+        h1, h2 = h
+        h2_out = h2[0] if self.rnn_type == "LSTM" else h2
+        h1 = self.word_rnn(h1, jnp.concatenate([h2_out, v_mean, prev], axis=1))
+        h1_out = h1[0] if self.rnn_type == "LSTM" else h1
+        hq = self.h1_fcnet(self.drop(h1_out, deterministic=deterministic))
+        att = self.attention(v, hq, deterministic=deterministic)
+        att_v = jnp.sum(att * v, axis=1)
+        h2 = self.language_rnn(h2, jnp.concatenate([att_v, hq], axis=1))
+        h2_out = h2[0] if self.rnn_type == "LSTM" else h2
+        output = self.h2_fcnet(self.drop(h2_out, deterministic=deterministic))
+        return [h1, h2], output, att
+
+
+def set_decoder(decoder_type: str,
+                ntoken: int,
+                hidden_dim: int,
+                max_len: int,
+                dropout: float = 0.5,
+                rnn_type: str = "GRU",
+                att_type: str = "base"):
+    """String-keyed decoder factory mirroring generator.py:12-37."""
+    if decoder_type == "none":
+        return None
+    cls = {"base": BaseDecoder, "butd": BUTDDecoder}[decoder_type]
+    return cls(ntoken=ntoken, hidden_dim=hidden_dim, max_len=max_len,
+               dropout=dropout, rnn_type=rnn_type, att_type=att_type)
