@@ -1,0 +1,214 @@
+"""Data-layer tests: tokenizer parity, relation graphs, datasets, loader, shards."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vqa_tpu.data.tokenizer import Vocab, get_tokens, padding, soft_answer_scores
+from vqa_tpu.data.relation import (
+    spatial_relation, relation_graph, relation_graphs_batched,
+)
+from vqa_tpu.data.dataset import set_dataset
+from vqa_tpu.data.loader import Loader
+from vqa_tpu.data.shards import pack_feature_dir
+from vqa_tpu.data.synthetic import make_synthetic_root
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    path = tmp_path_factory.mktemp("synth")
+    return make_synthetic_root(str(path))
+
+
+# ---------------------------------------------------------------- tokenizer
+
+def _vocab():
+    return Vocab(["what", "is", "the", "dog", "'s", "color", "a", "red",
+                  "<oov>", "<start>", "<end>", "<pad>"])
+
+
+def test_tokenizer_matches_reference_rules():
+    v = _vocab()
+    # lowercase, strip .,? , split 's  (preprocessing.py:102-120)
+    words, toks = get_tokens("What is the Dog's color?", v)
+    assert words == "what is the dog 's color"
+    assert toks == [0, 1, 2, 3, 4, 5]
+    # oov mapping
+    _, toks = get_tokens("what banana", v)
+    assert toks == [0, v.oov]
+    # captions get <start>/<end> inserted
+    words, toks = get_tokens("a red dog.", v, is_cap=True)
+    assert words == "<start> a red dog <end>"
+    assert toks == [v.start, 6, 7, 3, v.end]
+    # quote handling: " a'" -> boundary quotes stripped
+    words, _ = get_tokens('he said "red dog" loudly', v)
+    assert '"' not in words
+
+
+def test_padding_semantics():
+    v = _vocab()
+    toks, l = padding([1, 2, 3], 5, v.pad)
+    assert toks == [1, 2, 3, v.pad, v.pad] and l == 3
+    toks, l = padding([1, 2, 3, 4, 5, 6], 5, v.pad)
+    assert toks == [1, 2, 3, 4, 5] and l == 5
+
+
+def test_soft_answer_scores():
+    out = soft_answer_scores({"2": 5, "0": 1}, 4)
+    np.testing.assert_allclose(out, [1 / 3, 0, 1.0, 0])  # min(count,3)/3
+
+
+# ---------------------------------------------------------------- relations
+
+def test_spatial_relation_golden():
+    w, h = 100, 100
+    big = [0, 0, 50, 50]
+    small = [10, 10, 20, 20]
+    assert spatial_relation(big, small, w, h) == (1, 2)   # contains
+    assert spatial_relation(small, big, w, h) == (2, 1)   # covered
+    a, b = [0, 0, 10, 10], [1, 1, 11, 11]                 # IoU ~0.68
+    assert spatial_relation(a, b, w, h) == (3, 3)
+    # pure +x displacement: d=(dx,0), delta = atan2(dx,0)-90 = 0 -> bucket 3+ceil(0)=3
+    a, b = [0, 0, 10, 10], [30, 0, 40, 10]
+    lab = spatial_relation(a, b, w, h)
+    assert lab[0] >= 3 and lab[1] >= 3
+    # far apart -> no relation
+    assert spatial_relation([0, 0, 5, 5], [90, 90, 99, 99], w, h) == (0, 0)
+
+
+def test_relation_graph_antisymmetric_pairs():
+    rng = np.random.default_rng(0)
+    xy = rng.random((8, 2)) * 200
+    wh = rng.random((8, 2)) * 80 + 5
+    bbox = np.concatenate([xy, xy + wh], axis=1)
+    g = relation_graph(bbox, 320, 240)
+    assert g.shape == (8, 8)
+    assert np.all(np.diag(g) == 0)
+    # angle buckets are antisymmetric: labels >=4 pair as (k, ((k-4+4)%8)+4)
+    for i in range(8):
+        for j in range(i + 1, 8):
+            a, b = g[i, j], g[j, i]
+            if a >= 4:
+                assert b == ((a - 4 + 4) % 8) + 4
+
+
+def test_batched_graphs_match_scalar_port():
+    rng = np.random.default_rng(1)
+    B, N = 4, 7
+    xy = rng.random((B, N, 2)) * 300
+    wh = rng.random((B, N, 2)) * 120 + 5
+    bbox = np.concatenate([xy, xy + wh], axis=2)
+    w = np.full(B, 640.0)
+    h = np.full(B, 480.0)
+    got = relation_graphs_batched(bbox, w, h)
+    for b in range(B):
+        want = relation_graph(bbox[b], w[b], h[b])
+        np.testing.assert_array_equal(got[b], want.astype(np.int8))
+
+
+# ---------------------------------------------------------------- datasets
+
+def _ds(root, dataset_type, graph=False):
+    return set_dataset(
+        load_path=root["annot"],
+        feature_path=root["feature_root"],
+        ans_dim=root["ans_dim"],
+        caption_id_path=root["select_path"],
+        graph_path=root["graph_root"] if graph else "",
+        is_train=True,
+        dataset_type=dataset_type,
+    )
+
+
+def test_vqa_dataset_batch(root):
+    ds = _ds(root, "vqa")
+    batch = ds.get_batch([0, 1, 2])
+    assert batch["img"].shape == (3, root["num_objs"], root["v_dim"])
+    assert batch["q"].shape == (3, root["q_len"])
+    assert batch["a"].shape == (3, root["ans_dim"])
+    assert batch["a"].max() <= 1.0
+
+
+def test_vqa_dataset_with_graph(root):
+    ds = _ds(root, "vqa", graph=True)
+    batch = ds.get_batch([0, 1])
+    assert batch["graph"].shape == (2, root["num_objs"], root["num_objs"])
+
+
+def test_vqae_dataset(root):
+    ds = _ds(root, "vqa-e")
+    batch = ds.get_batch([0, 5])
+    assert batch["c"].shape == (2, root["c_len"])
+    assert np.all(batch["cap_len"] >= 2)
+
+
+def test_all_captions_dataset_index_arithmetic(root):
+    ds = _ds(root, "all")
+    n = len(ds.questions)
+    assert len(ds) == 5 * n
+    # index n+3 -> question 3, caption 1 (dataset.py:159)
+    b1 = ds.get_batch([n + 3])
+    b2 = ds.get_batch([3])
+    np.testing.assert_array_equal(b1["q"], b2["q"])
+
+
+def test_select_dataset(root):
+    ds = _ds(root, "select")
+    assert len(ds) == len(ds.questions)
+    batch = ds.get_batch([0, 1])
+    assert batch["c"].shape == (2, root["c_len"])
+
+
+# ---------------------------------------------------------------- loader
+
+def test_loader_fixed_shapes_and_tail(root):
+    ds = _ds(root, "vqa")
+    loader = Loader(ds, batch_size=5, shuffle=True, seed=7)
+    batches = list(loader)
+    assert len(batches) == (len(ds) + 4) // 5
+    for b in batches:
+        assert b["img"].shape[0] == 5  # fixed shape incl. tail
+    assert batches[-1]["nvalid"] == len(ds) - 5 * (len(batches) - 1)
+    total = sum(int(b["nvalid"]) for b in batches)
+    assert total == len(ds)
+
+
+def test_loader_shuffle_determinism(root):
+    ds = _ds(root, "vqa")
+    ids1 = [b["id"].tolist() for b in Loader(ds, 4, shuffle=True, seed=3)]
+    ids2 = [b["id"].tolist() for b in Loader(ds, 4, shuffle=True, seed=3)]
+    ids3 = [b["id"].tolist() for b in Loader(ds, 4, shuffle=True, seed=4)]
+    assert ids1 == ids2
+    assert ids1 != ids3
+
+
+# ---------------------------------------------------------------- shards
+
+def test_packed_shards_match_npz(root, tmp_path):
+    feat_dir = os.path.join(root["feature_root"], root["split"])
+    graph_dir = os.path.join(root["graph_root"], root["split"])
+    prefix = str(tmp_path / root["split"])
+    packed = pack_feature_dir(feat_dir, prefix, graph_dir=graph_dir,
+                              feature_dtype=np.float32)
+    name = sorted(os.listdir(feat_dir))[0]
+    want = np.load(os.path.join(feat_dir, name))["x"]
+    got = packed.gather(np.asarray([packed.row(name)]))[0]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    want_g = np.load(os.path.join(graph_dir, name))["graph"]
+    got_g = packed.gather_graphs(np.asarray([packed.row(name)]))[0]
+    np.testing.assert_array_equal(got_g, want_g.astype(np.int8))
+
+
+def test_dataset_uses_packed_backend(root, tmp_path):
+    feat_dir = os.path.join(root["feature_root"], root["split"])
+    prefix = str(tmp_path / root["split"])
+    pack_feature_dir(feat_dir, prefix, feature_dtype=np.float32)
+    ds_npz = _ds(root, "vqa")
+    ds_packed = set_dataset(
+        load_path=root["annot"], feature_path=str(tmp_path),
+        ans_dim=root["ans_dim"], is_train=True, dataset_type="vqa")
+    b1 = ds_npz.get_batch([0, 3])
+    b2 = ds_packed.get_batch([0, 3])
+    np.testing.assert_allclose(b1["img"], b2["img"], rtol=1e-6)
+    np.testing.assert_array_equal(b1["q"], b2["q"])

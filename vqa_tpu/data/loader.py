@@ -1,0 +1,100 @@
+"""Host-side batch feed with background prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4,
+pin_memory=True)`` (`/root/reference/main.py:178-200`). Differences, by
+design for TPU:
+
+- **Fixed shapes**: every batch has exactly ``batch_size`` rows; the tail
+  batch is padded by repeating row 0 and carries ``nvalid`` so eval can mask
+  padded rows. No recompilation, no dynamic shapes under jit.
+- **Vectorized assembly**: the dataset's ``get_batch`` gathers a whole batch
+  at once (packed shards: one memmap fancy-index) instead of per-item
+  ``__getitem__`` + collate.
+- **Pipelined**: a background thread prepares the next batches while the
+  device computes; combined with ``jax.device_put`` this double-buffers the
+  host->HBM copy behind the step (SURVEY.md section 7.1 "input pipeline").
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    """Iterable over fixed-shape numpy batches with shuffle + prefetch."""
+
+    def __init__(self,
+                 dataset,
+                 batch_size: int,
+                 shuffle: bool = False,
+                 seed: int = 1111,
+                 drop_last: bool = False,
+                 prefetch: int = 2,
+                 transform: Optional[Callable[[Dict[str, np.ndarray]],
+                                              Dict[str, np.ndarray]]] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.transform = transform
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.dataset)
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            nvalid = len(idx)
+            if nvalid < self.batch_size:
+                if self.drop_last:
+                    return
+                pad = np.full(self.batch_size - nvalid, idx[0] if nvalid else 0)
+                idx = np.concatenate([idx, pad])
+            batch = self.dataset.get_batch(list(idx))
+            batch["nvalid"] = np.int32(nvalid)
+            if self.transform is not None:
+                batch = self.transform(batch)
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate with background prefetch (daemon thread + bounded queue)."""
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surface worker errors to the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
