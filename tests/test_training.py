@@ -1,0 +1,193 @@
+"""End-to-end training tests on the synthetic mini-split (CPU-runnable).
+
+SURVEY.md section 4 item 3: a few-epoch train loop, checkpoint save/restore
+round-trip, eval metric reproduction — plus the sharded data-parallel path on
+the virtual 8-device mesh (section 4 item 4).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from vqa_tpu.data.dataset import set_dataset
+from vqa_tpu.data.loader import Loader
+from vqa_tpu.data.synthetic import make_synthetic_root
+from vqa_tpu.models.wrapper import set_model
+from vqa_tpu.training import optim as optim_lib
+from vqa_tpu.training.state import (
+    create_train_state, make_train_step, make_eval_step,
+)
+from vqa_tpu.training.checkpoint import (
+    save_checkpoint, load_checkpoint, load_params,
+)
+from vqa_tpu.training.train import train, evaluate, model_batch
+from vqa_tpu.training.logging import Logger
+from vqa_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    path = tmp_path_factory.mktemp("synth_train")
+    cfg = make_synthetic_root(str(path), num_images=8, num_questions=48)
+    # make a val split too
+    make_synthetic_root(str(path), split="val2014", num_images=4,
+                        num_questions=16, seed=5)
+    return cfg
+
+
+def _model(root, **kw):
+    defaults = dict(
+        encoder_type="base", predictor_type="base", decoder_type="none",
+        ntoken=root["ntoken"], v_dim=root["v_dim"], embed_dim=16,
+        hidden_dim=24, decoder_hidden_dim=20, ans_dim=root["ans_dim"],
+        c_len=root["c_len"], dropout=0.1, att_type="new",
+    )
+    defaults.update(kw)
+    return set_model(**defaults)
+
+
+def _loaders(root, dataset_type="vqa", batch_size=8):
+    train_ds = set_dataset(load_path=root["annot"],
+                           feature_path=root["feature_root"],
+                           ans_dim=root["ans_dim"],
+                           caption_id_path=root["select_path"],
+                           is_train=True, dataset_type=dataset_type)
+    val_ds = set_dataset(load_path=root["annot"],
+                         feature_path=root["feature_root"],
+                         ans_dim=root["ans_dim"],
+                         caption_id_path=root["select_path"],
+                         is_val=True, dataset_type=dataset_type)
+    return (Loader(train_ds, batch_size, shuffle=True, seed=1, prefetch=0),
+            Loader(val_ds, batch_size, shuffle=False, prefetch=0))
+
+
+def test_steplr_factor():
+    # warm_up=2, step_size=2, gamma=0.5: epochs 0-3 -> 1.0, then halves
+    f = lambda e: optim_lib.steplr_factor(e, warm_up=2, step_size=2, gamma=0.5)
+    assert [f(e) for e in range(8)] == [1, 1, 1, 1, 0.5, 0.5, 0.25, 0.25]
+
+
+def test_train_step_reduces_loss(root):
+    model = _model(root)
+    train_loader, _ = _loaders(root)
+    tx = optim_lib.make_optimizer(lr=2e-3, steps_per_epoch=len(train_loader))
+    batch = model_batch(next(iter(train_loader)))
+    state = create_train_state(model, tx, batch, seed=0)
+    step = make_train_step(model, tx)
+    losses = []
+    for _ in range(60):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    # The ReLU-capped classifier (reference FCNet quirk) floors BCE near
+    # log(2) * (ans_dim - positives); check clear progress toward that floor.
+    assert losses[-1] < losses[0] - 0.3, losses[:3] + losses[-3:]
+    # training score (sum of per-sample soft scores) improves as it overfits
+    assert float(metrics["train/score"]) > 0
+
+
+def test_full_train_loop_and_eval(root, tmp_path):
+    model = _model(root)
+    train_loader, val_loader = _loaders(root)
+    logger = Logger("t_loop", root=str(tmp_path))
+    save_path = logger.save_path
+    state = train(model=model, lr=2e-3, train_loader=train_loader,
+                  val_loader=val_loader, logger=logger, save_path=save_path,
+                  num_epoches=2, checkpoint=0, seed=0)
+    assert os.path.exists(os.path.join(save_path, "epoch_0.ckpt"))
+    assert os.path.exists(os.path.join(save_path, "epoch_1.ckpt"))
+    assert os.path.exists(os.path.join(save_path, "best_model.ckpt"))
+
+    # eval with answer-type breakdown
+    with open(root["index_path"]) as f:
+        ans_index = json.load(f)
+    eval_step = make_eval_step(model)
+    metric = evaluate(eval_step, state.params, val_loader, logger=logger,
+                      ans_index=ans_index,
+                      save_path=os.path.join(save_path, "valid"))
+    assert "hparam/score" in metric
+    assert os.path.exists(os.path.join(save_path, "valid", "scores.npy"))
+    scalars = os.path.join(save_path, "scalars.jsonl")
+    assert os.path.exists(scalars)
+    tags = {json.loads(l).get("tag") for l in open(scalars)}
+    assert "train/loss" in tags and "train/eval" in tags
+
+
+def test_checkpoint_roundtrip(root, tmp_path):
+    model = _model(root)
+    train_loader, _ = _loaders(root)
+    tx = optim_lib.make_optimizer(lr=2e-3, steps_per_epoch=len(train_loader))
+    batch = model_batch(next(iter(train_loader)))
+    state = create_train_state(model, tx, batch, seed=0)
+    step = make_train_step(model, tx)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, state, epoch=2, best_score=0.5)
+
+    state2 = create_train_state(model, tx, batch, seed=99)
+    restored = load_checkpoint(path, state2)
+    assert restored["epoch"] == 2 and restored["best_score"] == 0.5
+    r = restored["state"]
+    assert int(r.step) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params, r.params)
+    # params-only loader
+    p = load_params(path)
+    leaves1 = jax.tree_util.tree_leaves(state.params)
+    leaves2 = jax.tree_util.tree_leaves(p)
+    assert len(leaves1) == len(leaves2)
+    # resumed training continues identically
+    s1, m1 = step(state, batch)
+    s2, m2 = step(r, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_multitask_training_single_graph(root):
+    """VQA + captioning in one compiled step (BASELINE.json requirement)."""
+    model = _model(root, decoder_type="butd", predictor_type="base-cap",
+                   use_mtl=True)
+    train_loader, _ = _loaders(root, dataset_type="vqa-e")
+    tx = optim_lib.make_optimizer(lr=2e-3, steps_per_epoch=len(train_loader))
+    batch = model_batch(next(iter(train_loader)))
+    state = create_train_state(model, tx, batch, seed=0)
+    step = make_train_step(model, tx)
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert "train/cap/loss" in metrics and "train/score" in metrics
+    # log_vars actually move (unlike the reference, which never optimizes them)
+    assert float(np.abs(np.asarray(state.params["log_vars"])).sum()) > 0
+
+
+def test_data_parallel_step_on_virtual_mesh(root):
+    """DP over the 8-device CPU mesh: sharded batch, replicated params."""
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    model = _model(root)
+    train_loader, _ = _loaders(root, batch_size=16)
+    tx = optim_lib.make_optimizer(lr=2e-3, steps_per_epoch=len(train_loader))
+    batch = model_batch(next(iter(train_loader)))
+    step = make_train_step(model, tx)
+
+    # unsharded single-device result (the step donates its input state, so
+    # build two identical states from the same seed)
+    ref_state, ref_metrics = step(create_train_state(model, tx, batch, seed=0),
+                                  batch)
+
+    state_r = replicate(mesh, create_train_state(model, tx, batch, seed=0))
+    sharded = shard_batch(mesh, batch)
+    new_state, metrics = step(state_r, sharded)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    # gradients identical across the mesh (psum consistency)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        new_state.params, ref_state.params)

@@ -1,0 +1,103 @@
+"""Device mesh + sharding specs (data parallel x tensor parallel).
+
+TPU-native replacement for the reference's (absent) distributed layer
+(SURVEY.md section 5.8). Strategy:
+
+- Mesh axes ``('data', 'model')``. Batch arrays shard their leading axis over
+  ``data``; gradients reduce with XLA-inserted ``psum`` over ICI — this
+  covers and supersedes the reference's dead ``nn.DataParallel`` block
+  (train.py:89-92).
+- Tensor parallelism: the wide output projections (answer classifier
+  [hidden, ans_dim], decoder vocab projection [hidden, ntoken]) shard their
+  output dim over ``model``; activations all-gather only at those heads. At
+  the reference model scale TP is optional (params < 60M) but the shardings
+  are first-class so pod-slice scaling is a mesh-shape change, not a rewrite.
+- The reference's decoder-on-second-device placement (main.py:88,
+  wrapper.py:148-150) is subsumed: one jit graph over the whole mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ('data', 'model') mesh. Defaults: all devices on 'data'."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), \
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """device_put a pytree fully replicated over the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Leading-axis 'data' sharding for arrays, replicated scalars."""
+    out = {}
+    n_data = mesh.shape["data"]
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
+            out[k] = NamedSharding(mesh, P("data"))
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put a host batch with data-parallel shardings."""
+    shardings = batch_shardings(mesh, batch)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+# Param subtrees whose trailing (output) dim shards over the 'model' axis:
+# the answer classifier's final layer and the decoder vocab projections —
+# the only weight matrices wide enough to be worth splitting.
+_TP_SUFFIXES = ("classifier", "fcnet", "h2_fcnet", "cls_net")
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+    in_tp_module = any(k in _TP_SUFFIXES for k in keys)
+    if in_tp_module and getattr(leaf, "ndim", 0) >= 1:
+        name = keys[-1]
+        if getattr(leaf, "ndim", 0) == 2 and name in ("v", "w"):
+            return P(None, "model")
+        if getattr(leaf, "ndim", 0) == 1 and name == "b":
+            return P("model")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree: TP for wide output heads, replicated elsewhere.
+
+    Only shards dims that divide evenly by the 'model' axis size; everything
+    else stays replicated (safe default).
+    """
+    n_model = mesh.shape["model"]
+
+    def spec_for(path, leaf):
+        spec = _param_spec(path, leaf)
+        # verify divisibility; fall back to replication if it doesn't divide
+        for dim, axis in enumerate(spec):
+            if axis == "model" and leaf.shape[dim] % n_model != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    shardings = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,0 +1,70 @@
+"""Checkpoint save/restore.
+
+Same artifact layout as the reference (`checkpoint/<exp>/epoch_{n}.ckpt`,
+``best_model.ckpt``; SURVEY.md section 5.4) but the payload is complete:
+{params, opt_state, step, rng, best_score, epoch} — the reference only saved
+``model.state_dict()`` and silently restarted optimizer moments on resume
+(train.py:127, main.py:204-213). Serialization is flax msgpack (pure bytes,
+no pickle of code).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from vqa_tpu.training.state import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int,
+                    best_score: float = 0.0) -> None:
+    payload = {
+        "params": jax.device_get(state.params),
+        # to_state_dict: optax NamedTuple states -> nested dicts (msgpack-able)
+        "opt_state": serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
+        "step": int(state.step),
+        "rng": np.asarray(jax.random.key_data(state.rng)),
+        "epoch": int(epoch),
+        "best_score": float(best_score),
+    }
+    data = serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, payload))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+
+
+def load_checkpoint(path: str, state: Optional[TrainState] = None
+                    ) -> Dict[str, Any]:
+    """Load a checkpoint; if ``state`` is given, return (restored_state, meta).
+
+    Restoring into an existing state keeps pytree structure/dtypes (msgpack
+    stores raw arrays).
+    """
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    meta = {"epoch": int(payload["epoch"]),
+            "best_score": float(payload["best_score"])}
+    if state is None:
+        return {**payload, **meta}
+    restored = state.replace(
+        params=serialization.from_state_dict(state.params, payload["params"]),
+        opt_state=serialization.from_state_dict(state.opt_state,
+                                                payload["opt_state"]),
+        step=jax.numpy.int32(payload["step"]),
+        rng=jax.random.wrap_key_data(jax.numpy.asarray(payload["rng"])),
+    )
+    return {"state": restored, **meta}
+
+
+def load_params(path: str) -> Any:
+    """Params-only restore (for eval / decode / warm start)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload["params"]

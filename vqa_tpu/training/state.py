@@ -1,0 +1,96 @@
+"""Train state + jitted step factories.
+
+Replaces the reference's eager per-batch loop body
+(`/root/reference/train.py:100-113`: forward, backward, clip, Adamax step) by
+a single compiled ``train_step``: ``jax.value_and_grad`` through
+``VQAModel.get_loss``, optax chain (clip -> per-group adamax -> StepLR), one
+XLA graph. The state is donated every step so parameter buffers update
+in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vqa_tpu.models.wrapper import VQAModel, compute_score
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array            # int32 scalar
+    rng: jax.Array             # PRNG key
+
+
+def create_train_state(model: VQAModel, tx: optax.GradientTransformation,
+                       sample_batch: Dict[str, Any], seed: int = 1111
+                       ) -> TrainState:
+    """Initialize params from a sample batch (shapes only matter)."""
+    root = jax.random.key(seed)
+    init_key, run_key = jax.random.split(root)
+    variables = model.init({"params": init_key, "dropout": run_key},
+                           sample_batch, method="get_loss")
+    params = variables["params"]
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.int32(0), rng=run_key)
+
+
+def make_train_step(model: VQAModel, tx: optax.GradientTransformation
+                    ) -> Callable[[TrainState, Dict[str, Any]],
+                                  Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted train step (donates the state)."""
+
+    def loss_fn(params, batch, dropout_key):
+        loss, writes = model.apply({"params": params}, batch,
+                                   method="get_loss", deterministic=False,
+                                   rngs={"dropout": dropout_key})
+        return loss, writes
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        dropout_key = jax.random.fold_in(state.rng, state.step)
+        (loss, writes), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(writes)
+        metrics["loss"] = loss
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: VQAModel) -> Callable:
+    """Jitted VQA eval step -> per-sample (score, label, bound).
+
+    Mirrors evaluate()'s accumulation quantities (train.py:181-189): score =
+    soft score of the argmax answer; bound = target.max(1) (ground-truth
+    upper bound).
+    """
+
+    @jax.jit
+    def eval_step(params, batch):
+        score, label, target = model.apply({"params": params}, batch,
+                                           method="forward_vqa")
+        return jnp.sum(score, axis=1), label, jnp.max(target, axis=1)
+
+    return eval_step
+
+
+def make_infer_step(model: VQAModel) -> Callable:
+    """Jitted batched inference: batch -> answer logits [B, ans_dim]."""
+
+    @jax.jit
+    def infer_step(params, batch):
+        predict, _ = model.apply({"params": params}, batch)
+        return predict
+
+    return infer_step

@@ -1,0 +1,201 @@
+"""Training and evaluation loops.
+
+Mirrors the reference experiment runtime (`/root/reference/train.py`):
+Adamax + StepLR with warm-up, grad-clip, per-batch scalar logging, per-epoch
+checkpoint + best-model tracking, optional mid-epoch validation — but the
+per-batch body is one compiled TPU step and batches stream through the
+prefetching loader with fixed shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from vqa_tpu.models.wrapper import VQAModel
+from vqa_tpu.training import optim as optim_lib
+from vqa_tpu.training.state import (
+    TrainState, create_train_state, make_train_step, make_eval_step,
+)
+from vqa_tpu.training.checkpoint import save_checkpoint
+from vqa_tpu.training.logging import Logger, MetricsWriter
+from vqa_tpu.parallel.mesh import make_mesh, shard_batch
+
+MODEL_KEYS = ("img", "q", "a", "c", "cap_len", "graph")
+
+
+def model_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip loader bookkeeping keys; keep only model inputs."""
+    return {k: batch[k] for k in MODEL_KEYS if k in batch}
+
+
+def evaluate(eval_step,
+             params,
+             dataloader,
+             logger: Optional[Logger] = None,
+             writer: Optional[MetricsWriter] = None,
+             ans_index: Optional[Dict] = None,
+             save_path: Optional[str] = None,
+             mesh=None):
+    """VQA evaluation (reference train.py:162-222).
+
+    Returns (score, bound) or the per-answer-type metric dict when
+    ``ans_index`` is given. Padded tail rows are masked via ``nvalid``.
+    """
+    score = 0.0
+    target_score = 0.0
+    all_score, all_label = [], []
+    l = dataloader.num_samples
+    start = time.time()
+
+    for i, batch in enumerate(dataloader):
+        nvalid = int(batch.pop("nvalid"))
+        mb = model_batch(batch)
+        if mesh is not None:
+            mb = shard_batch(mesh, mb)
+        s, label, bound = eval_step(params, mb)
+        s = np.asarray(s)[:nvalid]
+        label = np.asarray(label)[:nvalid]
+        bound = np.asarray(bound)[:nvalid]
+        score += float(s.sum())
+        target_score += float(bound.sum())
+        all_score.append(s)
+        all_label.append(label)
+        if writer:
+            writer.add_scalar("val/vqa/score", score / l, i)
+
+    score /= l
+    target_score /= l
+    if logger:
+        t = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
+        logger.show(f"[{t}] evaluate score: {score:.10f} / bound: {target_score:.10f}")
+
+    all_score = np.concatenate(all_score)
+    all_label = np.concatenate(all_label)
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, "scores.npy"), all_score)
+        np.save(os.path.join(save_path, "labels.npy"), all_label)
+
+    if ans_index is not None:
+        output = {}
+        for ans in ans_index:
+            idx = np.asarray(ans_index[ans])
+            idx = idx[idx < len(all_score)]
+            output["hparam/" + ans] = float(all_score[idx].sum() / max(len(idx), 1))
+        if logger:
+            for k in output:
+                logger.write(f"\t{k}: {output[k]:.10f}")
+        output["hparam/score"] = score
+        return output
+    return score, target_score
+
+
+def train(model: VQAModel,
+          lr: float,
+          train_loader,
+          val_loader,
+          logger: Logger,
+          save_path: str,
+          num_epoches: int,
+          comment: str = "",
+          checkpoint: int = 10000,
+          start_epoch: int = 0,
+          batches: int = 0,
+          max_norm: float = 0.25,
+          best_score: float = 0.0,
+          warm_up: int = 0,
+          step_size: int = 0,
+          gamma: float = 0.5,
+          lr_vqa: float = 0.0,
+          lr_cap: float = 0.0,
+          val_checkpoint: bool = False,
+          seed: int = 1111,
+          mesh=None,
+          ans_index: Optional[Dict] = None,
+          init_state: Optional[TrainState] = None):
+    """Train loop (reference train.py:11-136). Returns the final TrainState."""
+    writer = MetricsWriter(save_path, comment=comment)
+    steps_per_epoch = batches if batches else len(train_loader)
+
+    tx = optim_lib.make_optimizer(
+        lr=lr, lr_vqa=lr_vqa, lr_cap=lr_cap, max_norm=max_norm,
+        warm_up=warm_up, step_size=step_size, gamma=gamma,
+        steps_per_epoch=steps_per_epoch)
+
+    # Initialize state from the first batch's shapes.
+    sample = None
+    for b in train_loader:
+        sample = model_batch(b)
+        break
+    assert sample is not None, "empty train loader"
+    state = init_state if init_state is not None else \
+        create_train_state(model, tx, sample, seed=seed)
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+
+    has_predictor = model.predictor is not None
+    best_epoch = start_epoch
+
+    def val(avg_loss, best_score, best_epoch, epoch, start):
+        if has_predictor:
+            eval_score, bound = evaluate(eval_step, state.params, val_loader,
+                                         mesh=mesh)
+            t = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
+            logger.show(f"[Epoch {epoch}] avg_loss: {avg_loss:.4f} | "
+                        f"score: {eval_score:.10f} ({t})")
+            writer.add_scalar("train/eval", eval_score, epoch)
+            if eval_score > best_score:
+                save_checkpoint(os.path.join(save_path, "best_model.ckpt"),
+                                state, epoch, eval_score)
+                best_score = eval_score
+                best_epoch = epoch
+            logger.show(f"[Result] best epoch: {best_epoch}, "
+                        f"score: {best_score:.10f} / {bound:.10f}")
+        else:
+            logger.show(f"[Epoch {epoch}] avg_loss: {avg_loss:.4f}")
+        return best_score, best_epoch
+
+    for epoch in range(start_epoch, num_epoches):
+        start = time.time()
+        avg_loss = 0.0
+        prev_loss = 0.0
+        for i, batch in enumerate(train_loader):
+            if batches and i == batches:
+                break
+            mb = model_batch(batch)
+            if mesh is not None:
+                mb = shard_batch(mesh, mb)
+            state, metrics = train_step(state, mb)
+            writes = {k: float(v) for k, v in metrics.items() if k != "loss"}
+            writer.add_scalars(writes, epoch * steps_per_epoch + i)
+            avg_loss += float(metrics["loss"])
+
+            if checkpoint and i % checkpoint == 0 and i != 0:
+                t = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
+                logger.write(f"[Batch {i}] loss: "
+                             f"{(avg_loss - prev_loss) / checkpoint:.4f} ({t})")
+                prev_loss = avg_loss
+            if val_checkpoint and i != 0 and \
+                    i % train_loader.num_samples == 0:
+                best_score, best_epoch = val(avg_loss / steps_per_epoch,
+                                             best_score, best_epoch, epoch,
+                                             start)
+                save_checkpoint(os.path.join(
+                    save_path, f"epoch_{epoch}_batch_{i}.ckpt"), state, epoch,
+                    best_score)
+
+        save_checkpoint(os.path.join(save_path, f"epoch_{epoch}.ckpt"),
+                        state, epoch, best_score)
+        best_score, best_epoch = val(avg_loss / steps_per_epoch, best_score,
+                                     best_epoch, epoch, start)
+        if epoch >= warm_up and step_size != 0:
+            factor = optim_lib.steplr_factor(epoch + 1, warm_up, step_size, gamma)
+            logger.show(f"learning rate factor: {factor}")
+
+    writer.close()
+    return state
