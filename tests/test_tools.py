@@ -1,0 +1,152 @@
+"""Beam-search decoding and caption-metric tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.data.tokenizer import Vocab
+from vqa_tpu.models.wrapper import set_model
+from vqa_tpu.tools.beam import make_beam_search, tokens_to_captions, decode_batch
+from vqa_tpu.tools import metrics
+
+NTOKEN = 30
+C_LEN = 7
+B = 3
+
+
+def _vocab():
+    words = [f"w{i}" for i in range(NTOKEN - 4)] + \
+        ["<oov>", "<start>", "<end>", "<pad>"]
+    return Vocab(words)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    model = set_model(encoder_type="base", predictor_type="none",
+                      decoder_type="base", ntoken=NTOKEN, v_dim=16,
+                      embed_dim=8, hidden_dim=12, decoder_hidden_dim=10,
+                      ans_dim=5, c_len=C_LEN, dropout=0.0)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((B, 4, 16)).astype(np.float32)),
+        "q": jnp.asarray(rng.integers(0, NTOKEN, (B, 5))),
+        "c": jnp.asarray(rng.integers(0, NTOKEN, (B, C_LEN))),
+        "cap_len": jnp.asarray(np.full(B, C_LEN)),
+    }
+    params = model.init(jax.random.key(0), batch)["params"]
+    return model, params, batch
+
+
+def test_beam_search_shapes_and_ranking(setup):
+    model, params, batch = setup
+    vocab = _vocab()
+    bs = make_beam_search(model, k=3, c_len=C_LEN, start_id=vocab.start,
+                          end_id=vocab.end)
+    tokens, scores = bs(params, batch)
+    assert tokens.shape == (B, 3, C_LEN)
+    assert scores.shape == (B, 3)
+    s = np.asarray(scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-5)  # sorted best-first
+    assert np.all(np.asarray(tokens)[:, :, 0] == vocab.start)
+
+
+def test_beam_k1_matches_greedy(setup):
+    """k=1 beam == greedy argmax rollout of the decoder."""
+    model, params, batch = setup
+    vocab = _vocab()
+    bs = make_beam_search(model, k=1, c_len=C_LEN, start_id=vocab.start,
+                          end_id=vocab.end)
+    tokens, _ = bs(params, batch)
+    tokens = np.asarray(tokens)[:, 0, :]
+
+    # manual greedy rollout via decode_step
+    def fn(mdl, v, v_mean, prev_tokens, h):
+        prev = mdl.encoder.embed(prev_tokens)
+        return mdl.generator.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                    deterministic=True)
+
+    def enc(mdl, b):
+        return mdl.encoder(b, deterministic=True)
+
+    embed = model.apply({"params": params}, batch, method=enc)
+    v = embed["v"]
+    v_mean = jnp.mean(v, axis=1)
+    h = model.generator.init_hidden(B, v.dtype)
+    cur = jnp.full((B,), vocab.start, jnp.int32)
+    got = [np.asarray(cur)]
+    done = np.zeros(B, bool)
+    # accumulate scores exactly like the beam (logp + log_softmax) so float
+    # tie-breaking matches
+    logp = np.zeros((B,), np.float32)
+    for t in range(C_LEN - 1):
+        h, logits, _ = model.apply({"params": params}, v, v_mean, cur, h,
+                                   method=fn)
+        cand = logp[:, None] + np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        step = cand.argmax(1).astype(np.int32)
+        logp = cand[np.arange(B), step]
+        step[done] = vocab.end  # finished beams stay at <end>
+        got.append(step.copy())
+        done |= step == vocab.end
+        cur = jnp.asarray(step)
+    want = np.stack(got, axis=1)
+    np.testing.assert_array_equal(tokens, want)
+
+
+def test_legacy_logit_scores_runs(setup):
+    model, params, batch = setup
+    vocab = _vocab()
+    bs = make_beam_search(model, k=2, c_len=C_LEN, start_id=vocab.start,
+                          end_id=vocab.end, legacy_logit_scores=True)
+    tokens, scores = bs(params, batch)
+    assert tokens.shape == (B, 2, C_LEN)
+
+
+def test_decode_batch_strings(setup):
+    model, params, batch = setup
+    vocab = _vocab()
+    caps = decode_batch(model, params, batch, vocab, k=2, c_len=C_LEN)
+    assert len(caps) == B
+    for c in caps:
+        assert "<start>" not in c and "<end>" not in c
+
+
+def test_tokens_to_captions():
+    vocab = _vocab()
+    toks = np.array([[vocab.start, 0, 1, vocab.end, vocab.pad]])
+    assert tokens_to_captions(toks, vocab, vocab.end) == ["w0 w1"]
+
+
+# -------------------------------------------------------------- metrics
+
+REFS = {
+    0: ["a brown dog runs in the park", "the dog is running outside"],
+    1: ["two people ride bikes", "a pair of cyclists on a road"],
+}
+
+
+def test_metrics_perfect_match():
+    hyps = {k: [REFS[k][0]] for k in REFS}
+    out = metrics.score(REFS, hyps)
+    assert out["Bleu_1"] == pytest.approx(1.0)
+    assert out["Bleu_4"] == pytest.approx(1.0)
+    assert out["ROUGE_L"] == pytest.approx(1.0)
+    assert out["CIDEr"] > 5.0          # tf-idf cosine == 1 on matched ngrams
+    assert out["METEOR"] > 0.9
+
+
+def test_metrics_ranking():
+    good = {0: ["a brown dog runs in the park"], 1: ["two people ride bikes"]}
+    bad = {0: ["purple elephants fly high"], 1: ["quantum cheese melts"]}
+    sg = metrics.score(REFS, good)
+    sb = metrics.score(REFS, bad)
+    for m in ("Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr", "METEOR"):
+        assert sg[m] > sb[m], m
+
+
+def test_bleu_brevity_penalty():
+    refs = {0: ["a b c d e f"]}
+    short = {0: ["a b c"]}
+    full = {0: ["a b c d e f"]}
+    assert metrics.bleu(refs, short)[0] < metrics.bleu(refs, full)[0]

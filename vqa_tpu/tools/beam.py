@@ -1,0 +1,149 @@
+"""Batched beam-search caption decoding, fully on device.
+
+TPU-native replacement for the reference's per-image host-side priority
+queue (`/root/reference/tools/caption.py:40-224`): a fixed-width beam search
+over the whole batch as one jitted ``lax.scan`` — every step expands all
+``batch x k`` beams with one decoder call (MXU-batched), top-k re-ranks, and
+hidden states are gathered by beam index on device. No host round-trips, no
+queue, no shrinking batch.
+
+Scoring fixes two reference defects deliberately (divergences documented):
+- candidate expansion uses ``log_softmax`` probabilities — the reference
+  accumulates raw logits as if they were log-probs (caption.py:96-107,
+  SURVEY.md section 2.1 defect 4). Pass ``legacy_logit_scores=True`` to
+  reproduce the reference's raw-logit accumulation for comparison runs.
+- final ranking is *descending* normalized log-probability
+  ``logp / (length - 1 + 1e-6)`` (the reference's ``sorted(..., key=-score)``
+  with score = -normalized-logp actually prefers the worst candidate,
+  caption.py:121,213-220).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
+                     legacy_logit_scores: bool = False):
+    """Build a jitted ``(params, batch) -> (tokens, scores)`` beam search.
+
+    tokens: [B, k, c_len] int32 (beams sorted best-first);
+    scores: [B, k] length-normalized log-probs.
+    The model must have a generator; the encoder embeds previous tokens
+    (mirrors tools/caption.py:93 using ``encoder.embedding``).
+    """
+    generator = model.generator
+    assert generator is not None, "model has no caption generator"
+
+    def _decode_step(params, v, v_mean, prev_tokens, h):
+        def fn(mdl, v, v_mean, prev_tokens, h):
+            prev = mdl.encoder.embed(prev_tokens)
+            return mdl.generator.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                        deterministic=True)
+        return model.apply({"params": params}, v, v_mean, prev_tokens, h,
+                           method=fn)
+
+    @jax.jit
+    def beam_search(params, batch) -> Tuple[jax.Array, jax.Array]:
+        def enc(mdl, b):
+            return mdl.encoder(b, deterministic=True)
+        embed = model.apply({"params": params}, batch, method=enc)
+        v = embed["v"]                               # [B, objs, v_dim]
+        B, objs, v_dim = v.shape
+        v_mean = jnp.mean(v, axis=1)
+
+        # tile to beams: [B*k, ...]
+        v_b = jnp.repeat(v, k, axis=0)
+        v_mean_b = jnp.repeat(v_mean, k, axis=0)
+
+        tokens0 = jnp.full((B, k, c_len), end_id, jnp.int32)
+        tokens0 = tokens0.at[:, :, 0].set(start_id)
+        # only beam 0 is live initially (avoids k duplicate beams)
+        logp0 = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, NEG_INF
+                          ) * jnp.ones((B, 1))
+        length0 = jnp.ones((B, k), jnp.int32)
+        finished0 = jnp.zeros((B, k), bool)
+        h0 = generator.init_hidden(B * k, v.dtype)
+
+        def body(carry, t):
+            tokens, logp, length, finished, h = carry
+            prev = tokens[:, :, t].reshape(B * k)
+            h, logits, _ = _decode_step(params, v_b, v_mean_b, prev, h)
+            V = logits.shape[-1]
+            step_scores = (logits if legacy_logit_scores
+                           else jax.nn.log_softmax(logits, axis=-1))
+            step_scores = step_scores.reshape(B, k, V)
+            # finished beams: continue only via <end> with zero added score
+            cont_mask = jnp.where(
+                jnp.arange(V)[None, None, :] == end_id, 0.0, NEG_INF)
+            step_scores = jnp.where(finished[:, :, None], cont_mask,
+                                    step_scores)
+            cand = logp[:, :, None] + step_scores          # [B, k, V]
+            top_logp, top_idx = jax.lax.top_k(cand.reshape(B, k * V), k)
+            beam_idx = top_idx // V                        # [B, k]
+            word = (top_idx % V).astype(jnp.int32)
+
+            gather = lambda arr: jnp.take_along_axis(
+                arr, beam_idx[..., None] if arr.ndim == 3 else beam_idx,
+                axis=1)
+            tokens = jnp.take_along_axis(
+                tokens, beam_idx[:, :, None], axis=1)
+            tokens = tokens.at[:, :, t + 1].set(word)
+            length_g = gather(length)
+            finished_g = gather(finished)
+            length = length_g + (~finished_g).astype(jnp.int32)
+            finished = finished_g | (word == end_id)
+
+            # reorder hidden states: flat index = b * k + beam_idx
+            flat_idx = (jnp.arange(B)[:, None] * k + beam_idx).reshape(-1)
+            h = jax.tree_util.tree_map(lambda s: s[flat_idx], h)
+            return (tokens, top_logp, length, finished, h), None
+
+        carry = (tokens0, logp0, length0, finished0, h0)
+        (tokens, logp, length, finished, _), _ = jax.lax.scan(
+            body, carry, jnp.arange(c_len - 1))
+
+        # length-normalized score (caption.py:24-26), finished beams first
+        norm = logp / (length.astype(logp.dtype) - 1 + 1e-6)
+        ranked = jnp.where(finished, norm, norm + 2 * NEG_INF)
+        order = jnp.argsort(-ranked, axis=1)
+        tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+        norm = jnp.take_along_axis(norm, order, axis=1)
+        return tokens, norm
+
+    return beam_search
+
+
+def tokens_to_captions(tokens: np.ndarray, vocab, end_id: int,
+                       drop_specials: bool = True) -> List[str]:
+    """[B, T] token rows -> caption strings (stop at <end>)."""
+    out = []
+    for row in np.asarray(tokens):
+        words = []
+        for tok in row:
+            word = vocab.words[int(tok)]
+            if int(tok) == end_id and words:
+                if not drop_specials:
+                    words.append(word)
+                break
+            if drop_specials and word in ("<start>", "<end>", "<pad>"):
+                continue
+            words.append(word)
+        out.append(" ".join(words))
+    return out
+
+
+def decode_batch(model, params, batch: Dict, vocab, k: int = 3,
+                 c_len: int = 20, beam_search=None) -> List[str]:
+    """Beam-decode one batch to caption strings (best beam per image)."""
+    if beam_search is None:
+        beam_search = make_beam_search(model, k, c_len, vocab.start, vocab.end)
+    tokens, _ = beam_search(params, batch)
+    return tokens_to_captions(np.asarray(tokens)[:, 0, :], vocab, vocab.end)

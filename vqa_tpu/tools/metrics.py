@@ -1,0 +1,195 @@
+"""Caption evaluation metrics: BLEU-1..4, ROUGE-L, CIDEr, METEOR (exact-match).
+
+Native implementations of the metrics the reference obtains from
+``pycocoevalcap`` (`/root/reference/cap_eval.py:22-39`), which is not
+available in this environment:
+
+- **BLEU-1..4** — corpus-level, clipped n-gram precision, closest-reference
+  brevity penalty (the pycocoevalcap BleuScorer 'closest' option).
+- **ROUGE-L** — LCS F-measure with beta=1.2, max precision/recall over
+  references, corpus mean (pycocoevalcap rouge.py semantics).
+- **CIDEr** — tf-idf n-gram cosine with reference-corpus document
+  frequencies, Gaussian length penalty sigma=6, x10 (pycocoevalcap
+  cider_scorer.py semantics).
+- **METEOR** — exact-match variant (unigram alignment, alpha=0.9 harmonic
+  mean, chunk fragmentation penalty gamma=0.5, beta=3). The reference wraps
+  the Java METEOR 1.5 jar with WordNet synonym/stem modules; without Java or
+  WordNet this is the documented approximation (scores are comparable in
+  ranking, not absolute value).
+
+API mirrors cap_eval.score: ``score(refs, hyps) -> {metric: value}`` where
+refs/hyps map id -> [sentence, ...].
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+# ----------------------------------------------------------------- BLEU
+
+def bleu(refs: Dict, hyps: Dict, max_n: int = 4) -> List[float]:
+    """Corpus BLEU-1..max_n with closest-ref-length brevity penalty."""
+    clipped = [0] * max_n
+    total = [0] * max_n
+    hyp_len = 0
+    ref_len = 0
+    for key in hyps:
+        hyp = hyps[key][0].split()
+        ref_tok = [r.split() for r in refs[key]]
+        hyp_len += len(hyp)
+        # closest reference length (ties -> shorter)
+        ref_len += min((abs(len(r) - len(hyp)), len(r)) for r in ref_tok)[1]
+        for n in range(1, max_n + 1):
+            hyp_ng = _ngrams(hyp, n)
+            max_ref = Counter()
+            for r in ref_tok:
+                for ng, c in _ngrams(r, n).items():
+                    max_ref[ng] = max(max_ref[ng], c)
+            clipped[n - 1] += sum(min(c, max_ref[ng])
+                                  for ng, c in hyp_ng.items())
+            total[n - 1] += max(sum(hyp_ng.values()), 0)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    out = []
+    log_sum = 0.0
+    for n in range(max_n):
+        p = clipped[n] / total[n] if total[n] else 0.0
+        log_sum += math.log(max(p, 1e-12))
+        out.append(bp * math.exp(log_sum / (n + 1)))
+    return out
+
+
+# ----------------------------------------------------------------- ROUGE-L
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            cur[j] = prev[j - 1] + 1 if ai == b[j - 1] else max(cur[j - 1], prev[j])
+        prev = cur
+    return prev[len(b)]
+
+
+def rouge_l(refs: Dict, hyps: Dict, beta: float = 1.2) -> float:
+    scores = []
+    for key in hyps:
+        hyp = hyps[key][0].split()
+        prec, rec = [], []
+        for r in refs[key]:
+            ref = r.split()
+            lcs = _lcs_len(hyp, ref)
+            prec.append(lcs / len(hyp) if hyp else 0.0)
+            rec.append(lcs / len(ref) if ref else 0.0)
+        p, r = max(prec), max(rec)
+        if p != 0 and r != 0:
+            scores.append(((1 + beta ** 2) * p * r) / (r + beta ** 2 * p))
+        else:
+            scores.append(0.0)
+    return sum(scores) / max(len(scores), 1)
+
+
+# ----------------------------------------------------------------- CIDEr
+
+def cider(refs: Dict, hyps: Dict, n: int = 4, sigma: float = 6.0) -> float:
+    # document frequency over the reference corpus
+    df = defaultdict(float)
+    for key in refs:
+        seen = set()
+        for r in refs[key]:
+            for k in range(1, n + 1):
+                seen.update(_ngrams(r.split(), k).keys())
+        for ng in seen:
+            df[ng] += 1.0
+    log_n_imgs = math.log(max(len(refs), 1))
+
+    def to_vec(tokens):
+        vecs, norms = [], []
+        for k in range(1, n + 1):
+            vec = {}
+            for ng, c in _ngrams(tokens, k).items():
+                idf = log_n_imgs - math.log(max(df[ng], 1.0))
+                vec[ng] = c * idf
+            vecs.append(vec)
+            norms.append(math.sqrt(sum(v * v for v in vec.values())))
+        return vecs, norms, len(tokens)
+
+    scores = []
+    for key in hyps:
+        hyp_vec, hyp_norm, hyp_len = to_vec(hyps[key][0].split())
+        img_score = 0.0
+        for r in refs[key]:
+            ref_vec, ref_norm, ref_len = to_vec(r.split())
+            delta = float(hyp_len - ref_len)
+            val = 0.0
+            for k in range(n):
+                num = sum(min(c, ref_vec[k].get(ng, 0.0)) * ref_vec[k].get(ng, 0.0)
+                          for ng, c in hyp_vec[k].items())
+                if hyp_norm[k] != 0 and ref_norm[k] != 0:
+                    s = num / (hyp_norm[k] * ref_norm[k])
+                else:
+                    s = 0.0
+                val += s * math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            img_score += val / n
+        scores.append(10.0 * img_score / max(len(refs[key]), 1))
+    return sum(scores) / max(len(scores), 1)
+
+
+# ----------------------------------------------------------------- METEOR
+
+def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
+                   gamma=0.5) -> float:
+    if not hyp or not ref:
+        return 0.0
+    # greedy left-to-right exact alignment
+    ref_used = [False] * len(ref)
+    align: List[Tuple[int, int]] = []
+    for i, w in enumerate(hyp):
+        for j, rw in enumerate(ref):
+            if not ref_used[j] and w == rw:
+                ref_used[j] = True
+                align.append((i, j))
+                break
+    m = len(align)
+    if m == 0:
+        return 0.0
+    p = m / len(hyp)
+    r = m / len(ref)
+    fmean = p * r / (alpha * p + (1 - alpha) * r)
+    # chunk count: contiguous in both hyp and ref order
+    chunks = 1
+    for (i1, j1), (i2, j2) in zip(align, align[1:]):
+        if i2 != i1 + 1 or j2 != j1 + 1:
+            chunks += 1
+    penalty = gamma * (chunks / m) ** beta
+    return fmean * (1 - penalty)
+
+
+def meteor(refs: Dict, hyps: Dict) -> float:
+    scores = []
+    for key in hyps:
+        hyp = hyps[key][0].split()
+        scores.append(max(_meteor_single(hyp, r.split()) for r in refs[key]))
+    return sum(scores) / max(len(scores), 1)
+
+
+# ----------------------------------------------------------------- driver
+
+def score(ref: Dict, sample: Dict) -> Dict[str, float]:
+    """All metrics at once (cap_eval.py:22-39 interface)."""
+    b = bleu(ref, sample)
+    return {
+        "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
+        "METEOR": meteor(ref, sample),
+        "CIDEr": cider(ref, sample),
+        "ROUGE_L": rouge_l(ref, sample),
+    }
