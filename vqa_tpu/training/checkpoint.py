@@ -68,3 +68,22 @@ def load_params(path: str) -> Any:
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return payload["params"]
+
+
+def merge_params(target: Any, loaded: Any) -> Any:
+    """Non-strict warm start: copy leaves present in both with equal shape.
+
+    Equivalent to the reference's ``load_state_dict(..., strict=False)``
+    (main.py:214-217): unknown/mismatched entries keep the fresh init.
+    """
+    if isinstance(target, dict):
+        out = {}
+        for k, v in target.items():
+            if isinstance(loaded, dict) and k in loaded:
+                out[k] = merge_params(v, loaded[k])
+            else:
+                out[k] = v
+        return out
+    t = np.asarray(target)
+    l = np.asarray(loaded)
+    return loaded if t.shape == l.shape else target
