@@ -37,9 +37,9 @@ import numpy as np
 REF_GPU_QPS = 2500.0          # documented estimate, see module docstring
 TARGET_MULTIPLIER = 5.0
 
-BATCH_SIZE = 512
+BATCH_SIZE = 16384
 WARMUP = 2
-ITERS = 15
+ITERS = 6
 
 NTOKEN = 20000
 ANS_DIM = 3129
@@ -66,7 +66,7 @@ def main():
 
     rng = np.random.default_rng(0)
     batches = []
-    for _ in range(4):  # rotate distinct device-resident batches
+    for _ in range(2):  # rotate distinct device-resident batches
         batches.append({
             "img": jnp.asarray(rng.standard_normal(
                 (BATCH_SIZE, NUM_OBJS, V_DIM)).astype(feat_dtype)),
@@ -81,11 +81,11 @@ def main():
         return jnp.argmax(predict, axis=1)
 
     for i in range(WARMUP):
-        np.asarray(infer(params, batches[i % 4]))
+        np.asarray(infer(params, batches[i % 2]))
 
     start = time.perf_counter()
     for i in range(ITERS):
-        labels = np.asarray(infer(params, batches[i % 4]))
+        labels = np.asarray(infer(params, batches[i % 2]))
     elapsed = time.perf_counter() - start
     assert labels.shape == (BATCH_SIZE,)
 
