@@ -174,6 +174,20 @@ class VQACaptionAllDataset(VQADataset):
         out["cap_len"] = np.asarray([c[1] for c in caps], np.int32)
         return out
 
+    def get_batch_all(self, indices):
+        """All candidate captions per question: c_all [B, n_cap, c_len],
+        cap_len_all [B, n_cap] — the max-relevance training feed
+        (vqa_tpu/training/select.py). ``indices`` are question indices."""
+        out = self._vqa_batch(indices)
+        c_all, len_all = [], []
+        for i in indices:
+            entry = self.captions[self.img_ids[i]]
+            c_all.append(entry["c"])
+            len_all.append(entry["cap_len"])
+        out["c_all"] = np.asarray(c_all, np.int32)
+        out["cap_len_all"] = np.asarray(len_all, np.int32)
+        return out
+
 
 class VQACaptionDataset(VQACaptionAllDataset):
     """One selected caption per QA pair via pickle index (dataset.py:167-199)."""
