@@ -1,0 +1,104 @@
+"""Pallas kernel parity vs XLA reference implementations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.ops.pallas.fused_attention import (
+    fused_multiply_attention_pool, multiply_attention_pool_reference,
+)
+from vqa_tpu.ops.pallas.gru import gru_last_state, gru_last_state_reference
+
+
+def test_fused_attention_matches_reference(rng):
+    B, N, Dv, H, Hq = 32, 12, 64, 48, 40
+    v = rng.standard_normal((B, N, Dv)).astype(np.float32)
+    q = rng.standard_normal((B, Hq)).astype(np.float32)
+    wv = (rng.standard_normal((Dv, H)) * 0.05).astype(np.float32)
+    bv = rng.standard_normal(H).astype(np.float32) * 0.1
+    wq = (rng.standard_normal((Hq, H)) * 0.05).astype(np.float32)
+    bq = rng.standard_normal(H).astype(np.float32) * 0.1
+    wl = (rng.standard_normal((H, 1)) * 0.1).astype(np.float32)
+    bl = rng.standard_normal(1).astype(np.float32) * 0.1
+
+    want_pool, want_att = multiply_attention_pool_reference(
+        *map(jnp.asarray, (v, q, wv, bv, wq, bq, wl, bl)))
+    got_pool, got_att = fused_multiply_attention_pool(
+        *map(jnp.asarray, (v, q, wv, bv, wq, bq, wl, bl)),
+        tile_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_att), np.asarray(want_att),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_pool), np.asarray(want_pool),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_matches_flax_module(rng):
+    """Kernel == the actual MultiplyAttention module + weighted pooling."""
+    from vqa_tpu.ops.attention import MultiplyAttention
+    B, N, Dv, H = 16, 9, 32, 24
+    v = jnp.asarray(rng.standard_normal((B, N, Dv)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    module = MultiplyAttention(hidden_dim=H)
+    params = module.init(jax.random.key(0), v, q)["params"]
+
+    def fold_wn(sub):
+        vmat = params[sub]["fc0"]["v"]
+        g = params[sub]["fc0"]["g"]
+        scale = g / np.linalg.norm(np.asarray(vmat))
+        return np.asarray(vmat) * scale, np.asarray(params[sub]["fc0"]["b"])
+
+    wv, bv = fold_wn("W_v")
+    wq, bq = fold_wn("W_q")
+    lv = params["linear"]["v"]
+    lg = params["linear"]["g"]
+    wl = np.asarray(lv) * (np.asarray(lg) / np.linalg.norm(np.asarray(lv)))
+    bl = np.asarray(params["linear"]["b"])
+
+    att_module = module.apply({"params": params}, v, q)      # [B, N, 1]
+    want_pool = jnp.sum(att_module * v, axis=1)
+    got_pool, got_att = fused_multiply_attention_pool(
+        v, q, *map(jnp.asarray, (wv, bv, wq, bq, wl, bl)),
+        tile_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_att),
+                               np.asarray(att_module)[:, :, 0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_pool), np.asarray(want_pool),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gru_kernel_matches_reference(rng):
+    B, T, H = 16, 10, 32
+    xi = rng.standard_normal((B, T, 3 * H)).astype(np.float32)
+    wh = (rng.standard_normal((H, 3 * H)) * 0.1).astype(np.float32)
+    bh = rng.standard_normal(3 * H).astype(np.float32) * 0.1
+    want = gru_last_state_reference(jnp.asarray(xi), jnp.asarray(wh),
+                                    jnp.asarray(bh))
+    got = gru_last_state(jnp.asarray(xi), jnp.asarray(wh), jnp.asarray(bh),
+                         tile_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gru_kernel_matches_torch(rng):
+    """End-to-end: xi from torch weights -> kernel == torch GRU last step."""
+    import torch
+    import torch.nn as tnn
+    B, T, in_dim, H = 8, 6, 12, 16
+    torch.manual_seed(0)
+    ref = tnn.GRU(input_size=in_dim, hidden_size=H, batch_first=True)
+    x = rng.standard_normal((B, T, in_dim)).astype(np.float32)
+    with torch.no_grad():
+        out, _ = ref(torch.from_numpy(x))
+    want = out[:, -1].numpy()
+
+    wi = ref.weight_ih_l0.detach().numpy().T
+    bi = ref.bias_ih_l0.detach().numpy()
+    wh = ref.weight_hh_l0.detach().numpy().T
+    bh = ref.bias_hh_l0.detach().numpy()
+    xi = x.reshape(-1, in_dim) @ wi + bi
+    got = gru_last_state(jnp.asarray(xi.reshape(B, T, 3 * H)),
+                         jnp.asarray(wh), jnp.asarray(bh),
+                         tile_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
