@@ -100,10 +100,17 @@ class VQADataset:
 
     # -- answers ----------------------------------------------------------
     def load_answers(self, indices: Sequence[int]) -> np.ndarray:
-        """Dense soft scores min(count,3)/3 (dataset.py:85-90), batched."""
+        """Dense soft scores min(count,3)/3 (dataset.py:85-90), batched.
+
+        Scatter runs in the native library when available."""
+        from vqa_tpu import native
+        dicts = [self.answers[i] for i in indices]
+        out = native.densify_answers_native(dicts, self.ans_dim)
+        if out is not None:
+            return out
         out = np.zeros((len(indices), self.ans_dim), np.float32)
-        for row, i in enumerate(indices):
-            for key, value in self.answers[i].items():
+        for row, d in enumerate(dicts):
+            for key, value in d.items():
                 out[row, int(key)] = min(value, 3) / 3.0
         return out
 

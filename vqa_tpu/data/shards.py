@@ -40,12 +40,21 @@ class PackedFeatures:
         return self.index[img_file]
 
     def gather(self, rows: np.ndarray, dtype=np.float32) -> np.ndarray:
-        """[batch] row ids -> [batch, num_objs, v_dim] features."""
-        return np.asarray(self.features[rows], dtype=dtype)
+        """[batch] row ids -> [batch, num_objs, v_dim] features.
+
+        Uses the threaded native gather (+f16 widening) when the C++ library
+        is available (vqa_tpu/native.py), numpy fancy-indexing otherwise.
+        """
+        from vqa_tpu import native
+        out = native.gather_rows(self.features, np.asarray(rows),
+                                 widen_f16=(dtype == np.float32))
+        return out if out.dtype == dtype else out.astype(dtype)
 
     def gather_graphs(self, rows: np.ndarray) -> np.ndarray:
         assert self.graphs is not None, "no packed graphs at this prefix"
-        return np.asarray(self.graphs[rows])
+        from vqa_tpu import native
+        return native.gather_rows(self.graphs, np.asarray(rows),
+                                  widen_f16=False)
 
 
 def pack_feature_dir(feature_dir: str, out_prefix: str,
