@@ -16,6 +16,12 @@ import traceback
 
 import numpy as np
 
+if os.environ.get("VQA_TPU_PLATFORM"):
+    # test hook: force a platform (e.g. cpu) even when a TPU plugin pinned
+    # jax_platforms via config at interpreter start
+    import jax
+    jax.config.update("jax_platforms", os.environ["VQA_TPU_PLATFORM"])
+
 from vqa_tpu.config import Argument, parse_args, save_args, dataset_type_from_args
 from vqa_tpu.data.dataset import set_dataset
 from vqa_tpu.data.loader import Loader

@@ -1,0 +1,162 @@
+"""End-to-end CLI smoke tests: main.py train/val/decode + cap_eval.py.
+
+Runs the real entry points as subprocesses on the synthetic mini-split
+(CPU), exercising the full surface: config persistence, training loop,
+checkpointing, evaluation with answer-type breakdown, beam-search decode,
+and caption metric scoring.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from vqa_tpu.data.synthetic import make_synthetic_root
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli")
+    root = make_synthetic_root(str(path), num_images=6, num_questions=24)
+    make_synthetic_root(str(path), split="val2014", num_images=4,
+                        num_questions=12, seed=9)
+    return path, root
+
+
+def run_cli(script, args, cwd):
+    env = dict(os.environ)
+    env["VQA_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script)] + args,
+        cwd=str(cwd), env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    return proc
+
+
+def common_args(root, extra):
+    return [
+        "--vocab_path", root["vocab_path"],
+        "--ans_path", root["ans_path"],
+        "--load_path", root["annot"],
+        "--feature_path", root["feature_root"],
+        "--select_path", root["select_path"],
+        "--pretrained_embed_path", "",
+        "--embed_dim", "16", "--hidden_dim", "24",
+        "--decoder_hidden_dim", "20", "--v_dim", str(root["v_dim"]),
+        "--batch_size", "8", "--epoches", "1",
+    ] + extra
+
+
+def test_train_and_val_vqa(workdir):
+    path, root = workdir
+    proc = run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_vqa",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+    ]), cwd=path)
+    ckpt = path / "checkpoint" / "cli_vqa"
+    assert (ckpt / "param.pkl").exists()
+    assert (ckpt / "param.txt").exists()
+    assert (ckpt / "epoch_0.ckpt").exists()
+    assert (ckpt / "best_model.ckpt").exists()
+    assert (ckpt / "valid" / "scores.npy").exists()
+    assert "hparam/score" in proc.stdout
+
+    # standalone val mode reloads the best model
+    proc = run_cli("main.py", common_args(root, [
+        "--mode", "val", "--comment", "cli_vqa",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+    ]), cwd=path)
+    assert "hparam/yes/no" in proc.stdout
+
+
+def test_train_decode_and_cap_eval(workdir):
+    path, root = workdir
+    run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_cap",
+        "--predictor_type", "base-cap", "--decoder_type", "base",
+        "--c_len", str(root["c_len"]),
+    ]), cwd=path)
+    run_cli("main.py", common_args(root, [
+        "--mode", "decode", "--comment", "cli_cap",
+        "--predictor_type", "base-cap", "--decoder_type", "base",
+        "--c_len", str(root["c_len"]),
+    ]), cwd=path)
+    decode = path / "checkpoint" / "cli_cap" / "decode.txt"
+    assert decode.exists()
+    lines = [l for l in decode.read_text().split("\n") if l]
+    assert len(lines) == 12  # one caption per val question
+
+    proc = run_cli("cap_eval.py", [
+        "--load_path", "cli_cap",
+        "--load_ref", os.path.join(root["annot"], "val2014_captions.json"),
+    ], cwd=path)
+    result = path / "checkpoint" / "cli_cap" / "eval_result.txt"
+    assert result.exists()
+    text = result.read_text()
+    for metric in ("Bleu_1", "METEOR", "CIDEr", "ROUGE_L"):
+        assert metric in text
+
+
+def test_preprocessing_cli(workdir, tmp_path):
+    """preprocessing.py over synthetic raw VQA/COCO JSON."""
+    path, root = workdir
+    raw = tmp_path / "raw"
+    (raw / "vqa").mkdir(parents=True)
+    (raw / "coco").mkdir()
+    annotations = {"annotations": [
+        {"image_id": 1, "answer_type": "yes/no",
+         "answers": [{"answer": "a1"}] * 4 + [{"answer": "a2"}]},
+        {"image_id": 2, "answer_type": "other",
+         "answers": [{"answer": "a0"}] * 10},
+    ]}
+    questions = {"questions": [
+        {"image_id": 1, "question": "Is the dog's toy red?"},
+        {"image_id": 2, "question": "What color is it?"},
+    ]}
+    captions = {"annotations": [
+        {"image_id": 1, "caption": "A dog plays."},
+        {"image_id": 1, "caption": "Red toy, happy dog."},
+        {"image_id": 2, "caption": "A colorful scene."},
+    ]}
+    for name, data in [("v2_mscoco_train2014_annotations.json", annotations),
+                       ("v2_OpenEnded_mscoco_train2014_questions.json",
+                        questions)]:
+        with open(raw / "vqa" / name, "w") as f:
+            json.dump(data, f)
+    with open(raw / "coco" / "captions_train2014.json", "w") as f:
+        json.dump(captions, f)
+
+    out = tmp_path / "annot"
+    run_cli("preprocessing.py", [
+        "--vqa_path", str(raw / "vqa"),
+        "--coco_path", str(raw / "coco"),
+        "--vocab_path", root["vocab_path"],
+        "--ans_vocab_path", root["ans_path"],
+        "--dataset_type", "train2014",
+        "--save_path", str(out),
+        "--save_q", "1", "--save_a", "1", "--save_c", "1",
+    ], cwd=tmp_path)
+
+    with open(out / "train2014_questions.json") as f:
+        q = json.load(f)["data"]
+    assert len(q) == 2
+    assert len(q[0]["q"]) == 10
+    assert q[0]["img_file"] == "COCO_train2014_000000000001.npz"
+    with open(out / "train2014_answers.json") as f:
+        a = json.load(f)["data"]
+    assert a[0] == {"1": 4, "2": 1}
+    with open(out / "index.json") as f:
+        idx = json.load(f)
+    assert idx["yes/no"] == [0] and idx["other"] == [1]
+    with open(out / "train2014_captions.json") as f:
+        c = json.load(f)["data"]
+    assert set(c.keys()) == {"1", "2"}
+    assert c["1"]["c_word"][0].startswith("<start> ")
+    assert len(c["1"]["c"][0]) == 20

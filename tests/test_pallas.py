@@ -102,3 +102,39 @@ def test_gru_kernel_matches_torch(rng):
                          jnp.asarray(wh), jnp.asarray(bh),
                          tile_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_model_with_pallas_gru_matches_default(rng):
+    """use_pallas=True (interpret on CPU) == default XLA scan path."""
+    from vqa_tpu.models.wrapper import set_model
+    kw = dict(encoder_type="base", predictor_type="base", decoder_type="none",
+              ntoken=50, v_dim=32, embed_dim=16, hidden_dim=24,
+              decoder_hidden_dim=20, ans_dim=13, c_len=8, dropout=0.0,
+              att_type="new")
+    m_ref = set_model(**kw)
+    m_pallas = set_model(**kw, use_pallas=True)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((32, 9, 32)).astype(np.float32)),
+        "q": jnp.asarray(rng.integers(0, 50, (32, 5))),
+    }
+    params = m_ref.init(jax.random.key(0), batch)["params"]
+    p1, _ = m_ref.apply({"params": params}, batch)
+    p2, _ = m_pallas.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gru_fallback_on_odd_batch(rng):
+    """Batch not divisible by the tile -> silent fallback to the XLA scan."""
+    from vqa_tpu.models.wrapper import set_model
+    m = set_model(encoder_type="base", predictor_type="base",
+                  decoder_type="none", ntoken=50, v_dim=32, embed_dim=16,
+                  hidden_dim=24, decoder_hidden_dim=20, ans_dim=13, c_len=8,
+                  dropout=0.0, att_type="new", use_pallas=True)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((7, 9, 32)).astype(np.float32)),
+        "q": jnp.asarray(rng.integers(0, 50, (7, 5))),
+    }
+    params = m.init(jax.random.key(0), batch)["params"]
+    p, _ = m.apply({"params": params}, batch)
+    assert p.shape == (7, 13)

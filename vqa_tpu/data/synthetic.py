@@ -123,9 +123,17 @@ def make_synthetic_root(root: str,
     with open(os.path.join(annot, f"{split}_all_captions.json"), "w") as f:
         json.dump(all_caps, f)
 
+    # One selection pickle is shared across splits (the reference passes the
+    # same --select_path to both datasets, main.py:171,259) — merge keys so a
+    # second split's generation never shrinks the index range.
     select_path = os.path.join(annot, "most_relevant.pkl")
+    selection = {}
+    if os.path.exists(select_path):
+        with open(select_path, "rb") as f:
+            selection = pickle.load(f)
+    selection.update({i: int(rng.integers(5)) for i in range(num_questions)})
     with open(select_path, "wb") as f:
-        pickle.dump({i: int(rng.integers(5)) for i in range(num_questions)}, f)
+        pickle.dump(selection, f)
 
     # answer-type index in the canonical single format (SURVEY.md 2.1 #10)
     index_path = os.path.join(annot, "index.json")

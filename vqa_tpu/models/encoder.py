@@ -72,6 +72,7 @@ class BaseEncoder(nn.Module):
     rnn_type: str = "GRU"
     att_type: str = "base"
     frozen_embedding: Optional[np.ndarray] = None
+    use_pallas: bool = False   # fused Pallas question-GRU (opt-in fast path)
 
     def setup(self):
         self.embedding = WordEmbedding(self.ntoken, self.embed_dim,
@@ -79,6 +80,7 @@ class BaseEncoder(nn.Module):
                                        name="embedding")
         self.q_rnn = SentenceEmbedding(self.hidden_dim, rnn_layer=self.rnn_layer,
                                        dropout=0.0, rnn_type=self.rnn_type,
+                                       use_pallas=self.use_pallas,
                                        name="q_rnn")
         self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
                                                 name="attention")
@@ -175,7 +177,8 @@ def set_encoder(encoder_type: str,
                 att_type: str = "base",
                 conv_type: str = "corr",
                 conv_layer: int = 1,
-                frozen_embedding: Optional[np.ndarray] = None) -> nn.Module:
+                frozen_embedding: Optional[np.ndarray] = None,
+                use_pallas: bool = False) -> nn.Module:
     """String-keyed encoder factory mirroring encoder.py:10-58.
 
     ``frozen_embedding`` plays the role of the reference's
@@ -187,12 +190,13 @@ def set_encoder(encoder_type: str,
     if encoder_type == "base":
         return BaseEncoder(hidden_dim=hidden_dim, dropout=dropout,
                            rnn_type=rnn_type, rnn_layer=rnn_layer,
-                           att_type=att_type, **common)
+                           att_type=att_type, use_pallas=use_pallas, **common)
     if encoder_type == "relation":
         return RelationEncoder(hidden_dim=hidden_dim, dropout=dropout,
                                rnn_type=rnn_type, rnn_layer=rnn_layer,
                                att_type=att_type, conv_type=conv_type,
-                               conv_layer=conv_layer, v_dim=v_dim, **common)
+                               conv_layer=conv_layer, v_dim=v_dim,
+                               use_pallas=use_pallas, **common)
     if encoder_type == "cap":
         return CaptionEncoder(**common)
     raise ValueError(f"unknown encoder_type: {encoder_type}")

@@ -165,7 +165,8 @@ def set_model(encoder_type: str = "base",
               conv_layer: int = 2,
               conv_type: str = "corr",
               use_mtl: bool = False,
-              frozen_embedding: Optional[np.ndarray] = None) -> VQAModel:
+              frozen_embedding: Optional[np.ndarray] = None,
+              use_pallas: bool = False) -> VQAModel:
     """Single model-construction factory mirroring wrapper.py:125-191.
 
     The reference's ``decoder_device`` two-device placement (wrapper.py:148-150)
@@ -177,7 +178,7 @@ def set_model(encoder_type: str = "base",
         embed_dim=embed_dim, hidden_dim=hidden_dim, dropout=dropout,
         rnn_type=rnn_type, rnn_layer=rnn_layer, att_type=att_type,
         conv_type=conv_type, conv_layer=conv_layer,
-        frozen_embedding=frozen_embedding,
+        frozen_embedding=frozen_embedding, use_pallas=use_pallas,
     )
     predictor = set_predictor(
         predictor_type=predictor_type, hidden_dim=hidden_dim, ans_dim=ans_dim,

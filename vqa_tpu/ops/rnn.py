@@ -151,6 +151,11 @@ class SentenceEmbedding(nn.Module):
     dropout: float = 0.0
     rnn_type: str = "GRU"
     bidirect: bool = False
+    # opt-in fused Pallas sequence kernel for the last-state GRU path
+    # (vqa_tpu/ops/pallas/gru.py); falls back to the XLA scan whenever the
+    # configuration or batch shape doesn't fit the kernel
+    use_pallas: bool = False
+    pallas_tile: int = 32
 
     def _layer_params(self, layer: int, direction: int, in_dim: int):
         ngates = 3 if self.rnn_type == "GRU" else 4
@@ -164,8 +169,20 @@ class SentenceEmbedding(nn.Module):
         }
 
     @nn.compact
-    def forward_all(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def forward_all(self, x: jax.Array, *, deterministic: bool = True,
+                    last_only: bool = False) -> jax.Array:
         assert self.rnn_type in ("LSTM", "GRU")
+        if last_only and self._pallas_eligible(x):
+            # fused last-state path: hoisted input GEMM + VMEM-resident kernel
+            from vqa_tpu.ops.pallas.gru import gru_last_state
+            params = self._layer_params(0, 0, x.shape[-1])
+            xi_all = jnp.matmul(x, params["wi"].astype(x.dtype),
+                                preferred_element_type=x.dtype) \
+                + params["bi"].astype(x.dtype)
+            interpret = jax.default_backend() != "tpu"
+            out = gru_last_state(xi_all, params["wh"], params["bh"],
+                                 tile_b=self.pallas_tile, interpret=interpret)
+            return out.astype(x.dtype)
         ndir = 2 if self.bidirect else 1
         out = x
         for layer in range(self.rnn_layer):
@@ -178,15 +195,21 @@ class SentenceEmbedding(nn.Module):
             # torch applies inter-layer dropout on all but the last layer.
             if layer < self.rnn_layer - 1 and self.dropout > 0:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if last_only:
+            if not self.bidirect:
+                return out[:, -1]
+            forward = out[:, -1, : self.hidden_dim]
+            backward = out[:, 0, self.hidden_dim:]
+            return jnp.concatenate([forward, backward], axis=1)
         return out
 
+    def _pallas_eligible(self, x: jax.Array) -> bool:
+        return (self.use_pallas and self.rnn_type == "GRU"
+                and self.rnn_layer == 1 and not self.bidirect
+                and x.shape[0] % self.pallas_tile == 0)
+
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        out = self.forward_all(x, deterministic=deterministic)
-        if not self.bidirect:
-            return out[:, -1]
-        forward = out[:, -1, : self.hidden_dim]
-        backward = out[:, 0, self.hidden_dim:]
-        return jnp.concatenate([forward, backward], axis=1)
+        return self.forward_all(x, deterministic=deterministic, last_only=True)
 
 
 class GRUCell(RNNCellBase):

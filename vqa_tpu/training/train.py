@@ -149,9 +149,12 @@ def train(model: VQAModel,
             logger.show(f"[Epoch {epoch}] avg_loss: {avg_loss:.4f} | "
                         f"score: {eval_score:.10f} ({t})")
             writer.add_scalar("train/eval", eval_score, epoch)
-            if eval_score > best_score:
-                save_checkpoint(os.path.join(save_path, "best_model.ckpt"),
-                                state, epoch, eval_score)
+            best_path = os.path.join(save_path, "best_model.ckpt")
+            # strict > like the reference (train.py:79), but always materialize
+            # a best checkpoint on the first validation so downstream val/decode
+            # never find it missing (score can legitimately be 0.0 early)
+            if eval_score > best_score or not os.path.exists(best_path):
+                save_checkpoint(best_path, state, epoch, eval_score)
                 best_score = eval_score
                 best_epoch = epoch
             logger.show(f"[Result] best epoch: {best_epoch}, "
