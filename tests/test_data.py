@@ -212,3 +212,16 @@ def test_dataset_uses_packed_backend(root, tmp_path):
     b2 = ds_packed.get_batch([0, 3])
     np.testing.assert_allclose(b1["img"], b2["img"], rtol=1e-6)
     np.testing.assert_array_equal(b1["q"], b2["q"])
+
+
+def test_grain_loader_adapter(root):
+    pytest.importorskip("grain")
+    from vqa_tpu.data.grain_loader import make_grain_loader
+    ds = _ds(root, "vqa")
+    loader = make_grain_loader(ds, batch_size=8, shuffle=True, seed=3,
+                               drop_remainder=True)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 8
+    b = batches[0]
+    assert b["img"].shape == (8, root["num_objs"], root["v_dim"])
+    assert b["a"].shape == (8, root["ans_dim"])

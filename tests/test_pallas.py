@@ -113,15 +113,20 @@ def test_model_with_pallas_gru_matches_default(rng):
               att_type="new")
     m_ref = set_model(**kw)
     m_pallas = set_model(**kw, use_pallas=True)
+    # the kernel path activates for bf16 activations (inference fast path)
     batch = {
-        "img": jnp.asarray(rng.standard_normal((32, 9, 32)).astype(np.float32)),
+        "img": jnp.asarray(rng.standard_normal((32, 9, 32)).astype(jnp.bfloat16)),
         "q": jnp.asarray(rng.integers(0, 50, (32, 5))),
     }
     params = m_ref.init(jax.random.key(0), batch)["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
     p1, _ = m_ref.apply({"params": params}, batch)
     p2, _ = m_pallas.apply({"params": params}, batch)
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
-                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1, np.float32),
+                               np.asarray(p2, np.float32),
+                               rtol=3e-2, atol=3e-2)
 
 
 def test_pallas_gru_fallback_on_odd_batch(rng):

@@ -180,7 +180,8 @@ class SentenceEmbedding(nn.Module):
                                 preferred_element_type=x.dtype) \
                 + params["bi"].astype(x.dtype)
             interpret = jax.default_backend() != "tpu"
-            out = gru_last_state(xi_all, params["wh"], params["bh"],
+            out = gru_last_state(xi_all, params["wh"].astype(x.dtype),
+                                 params["bh"].astype(x.dtype),
                                  tile_b=self.pallas_tile, interpret=interpret)
             return out.astype(x.dtype)
         ndir = 2 if self.bidirect else 1
@@ -204,8 +205,11 @@ class SentenceEmbedding(nn.Module):
         return out
 
     def _pallas_eligible(self, x: jax.Array) -> bool:
+        # bf16 only: the f32 recurrent weight (12.6 MB at H=1024) cannot be
+        # VMEM-resident within the 16 MB budget; f32 runs use the XLA scan
         return (self.use_pallas and self.rnn_type == "GRU"
                 and self.rnn_layer == 1 and not self.bidirect
+                and x.dtype == jnp.bfloat16
                 and x.shape[0] % self.pallas_tile == 0)
 
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:

@@ -117,8 +117,15 @@ def train(model: VQAModel,
           seed: int = 1111,
           mesh=None,
           ans_index: Optional[Dict] = None,
-          init_state: Optional[TrainState] = None):
-    """Train loop (reference train.py:11-136). Returns the final TrainState."""
+          init_state: Optional[TrainState] = None,
+          profile_dir: Optional[str] = None,
+          profile_steps: tuple = (10, 20)):
+    """Train loop (reference train.py:11-136). Returns the final TrainState.
+
+    ``profile_dir``: if set, capture a jax.profiler trace (Perfetto/XPlane)
+    of global steps [profile_steps) — the reference has no profiling at all
+    (SURVEY.md section 5.1).
+    """
     writer = MetricsWriter(save_path, comment=comment)
     steps_per_epoch = batches if batches else len(train_loader)
 
@@ -170,12 +177,20 @@ def train(model: VQAModel,
         for i, batch in enumerate(train_loader):
             if batches and i == batches:
                 break
+            gstep = epoch * steps_per_epoch + i
+            if profile_dir and gstep == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
             mb = model_batch(batch)
             if mesh is not None:
                 mb = shard_batch(mesh, mb)
             state, metrics = train_step(state, mb)
+            if profile_dir and gstep == profile_steps[1]:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
+                profile_dir = None  # capture once
             writes = {k: float(v) for k, v in metrics.items() if k != "loss"}
-            writer.add_scalars(writes, epoch * steps_per_epoch + i)
+            writer.add_scalars(writes, gstep)
             avg_loss += float(metrics["loss"])
 
             if checkpoint and i % checkpoint == 0 and i != 0:
