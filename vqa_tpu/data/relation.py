@@ -64,6 +64,21 @@ def spatial_relation(a, b, w, h):
     return 0, 0
 
 
+def semantic_relation(a, b, w, h):
+    """Semantic relation classifier — intentionally unimplemented.
+
+    The reference declares the same stub (relation.py:48-62): semantic
+    relations per "Exploring Visual Relationship for Image Captioning"
+    require a pretrained visual-relationship detector (trained on Visual
+    Genome), which is out-of-repo data in the reference too. The graph
+    plumbing (GCN label channels, ``relation_graph(relation=...)``) accepts a
+    semantic classifier unchanged once one is available.
+    """
+    raise NotImplementedError(
+        "semantic relations need a pretrained relationship detector; "
+        "see docstring")
+
+
 def relation_graph(bbox: np.ndarray, w: float, h: float,
                    relation=spatial_relation) -> np.ndarray:
     """Per-image [N, N] relation labels, pairwise loop (relation.py:65-79)."""

@@ -11,6 +11,7 @@ no pickle of code).
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -18,6 +19,34 @@ import numpy as np
 from flax import serialization
 
 from vqa_tpu.training.state import TrainState
+
+_async_lock = threading.Lock()
+_pending: list = []
+
+
+def save_checkpoint_async(path: str, state: TrainState, epoch: int,
+                          best_score: float = 0.0) -> threading.Thread:
+    """Non-blocking checkpoint: device->host copy happens on the caller,
+    serialization + fsync on a background thread (preemption loses at most
+    one save interval, SURVEY.md section 5.3). ``wait_for_checkpoints()``
+    joins outstanding saves."""
+    host_state = jax.device_get(state)
+
+    def work():
+        save_checkpoint(path, host_state, epoch, best_score)
+
+    t = threading.Thread(target=work, daemon=True)
+    with _async_lock:
+        _pending.append(t)
+    t.start()
+    return t
+
+
+def wait_for_checkpoints() -> None:
+    with _async_lock:
+        pending, _pending[:] = _pending[:], []
+    for t in pending:
+        t.join()
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int,
