@@ -33,7 +33,7 @@ from vqa_tpu.tools.beam import make_beam_search, tokens_to_captions
 from vqa_tpu.training.checkpoint import load_checkpoint, load_params
 from vqa_tpu.training.logging import Logger, MetricsWriter
 from vqa_tpu.training.state import create_train_state, make_eval_step
-from vqa_tpu.training.train import train, evaluate, model_batch
+from vqa_tpu.training.train import train, train_select, evaluate, model_batch
 from vqa_tpu.training import optim as optim_lib
 
 
@@ -137,16 +137,33 @@ def main():
             print("load parameters:", path)
 
         print("start training.")
-        train(model=model, lr=args.lr, train_loader=train_loader,
-              val_loader=val_loader, num_epoches=args.epoches,
-              save_path=save_path, logger=logger, checkpoint=10000,
-              max_norm=0.25, comment=args.comment + "_train",
-              start_epoch=args.start_epoch, batches=args.batches,
-              best_score=best_score, warm_up=args.warm_up,
-              step_size=args.step_size, gamma=args.gamma,
-              lr_vqa=args.lr_vqa, lr_cap=args.lr_cap,
-              val_checkpoint=val_checkpoint, seed=args.seed, mesh=mesh,
-              init_state=init_state)
+        common = dict(model=model, lr=args.lr, val_loader=val_loader,
+                      num_epoches=args.epoches, save_path=save_path,
+                      logger=logger, checkpoint=10000, max_norm=0.25,
+                      comment=args.comment + "_train",
+                      start_epoch=args.start_epoch, batches=args.batches,
+                      best_score=best_score, warm_up=args.warm_up,
+                      step_size=args.step_size, gamma=args.gamma,
+                      lr_vqa=args.lr_vqa, lr_cap=args.lr_cap,
+                      val_checkpoint=val_checkpoint, seed=args.seed,
+                      mesh=mesh, init_state=init_state,
+                      profile_dir=args.profile_dir or None)
+        if getattr(args, "train_strategy", "joint") == "select":
+            # max-relevance candidate training over the all-captions dataset
+            from vqa_tpu.data.dataset import set_dataset as _sd
+            all_ds = _sd(load_path=args.load_path,
+                         feature_path=args.feature_path,
+                         ans_dim=len(ans_list),
+                         caption_id_path=args.select_path,
+                         graph_path=args.graph_path
+                         if args.encoder_type == "relation" else "",
+                         is_train=True, dataset_type="all")
+            sel_loader = Loader(all_ds, args.batch_size, shuffle=args.shuffle,
+                                seed=args.seed, batch_method="get_batch_all",
+                                length=len(all_ds.questions))
+            train_select(train_loader=sel_loader, **common)
+        else:
+            train(train_loader=train_loader, **common)
 
     if args.mode in ("train", "val"):
         load_model = args.load_model or os.path.join(save_path, "best_model.ckpt")

@@ -160,3 +160,17 @@ def test_preprocessing_cli(workdir, tmp_path):
     assert set(c.keys()) == {"1", "2"}
     assert c["1"]["c_word"][0].startswith("<start> ")
     assert len(c["1"]["c"][0]) == 20
+
+
+def test_train_select_strategy(workdir):
+    """Q-Relevant max-relevance training via the CLI."""
+    path, root = workdir
+    proc = run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_select",
+        "--predictor_type", "base-cap", "--decoder_type", "base",
+        "--train_strategy", "select",
+        "--c_len", str(root["c_len"]),
+    ]), cwd=path)
+    ckpt = path / "checkpoint" / "cli_select"
+    assert (ckpt / "epoch_0.ckpt").exists()
+    assert (ckpt / "best_model.ckpt").exists()

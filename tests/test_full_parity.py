@@ -1,0 +1,190 @@
+"""Full-model forward parity: flax Up-Down VQA == torch twin, end to end.
+
+Builds the complete reference pipeline in torch *in the test* (embedding ->
+GRU last-padded-step -> top-down attention -> weighted features -> FCNet
+joint -> weight-normed classifier, per the documented math), copies every
+parameter into our flax model, and checks the answer logits match. This is
+the accuracy-parity argument of SURVEY.md section 7.3 at the whole-model
+level, without needing the real dataset.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+from torch.nn.utils.weight_norm import weight_norm
+
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.models.wrapper import set_model
+
+NTOKEN = 60
+EMBED = 20
+HIDDEN = 28
+V_DIM = 24
+ANS = 11
+OBJS = 7
+Q_LEN = 6
+B = 5
+
+
+def t2n(t):
+    return t.detach().numpy()
+
+
+def wn_params(lin):
+    return {"v": t2n(lin.weight_v).T, "g": t2n(lin.weight_g).reshape(()),
+            "b": t2n(lin.bias)}
+
+
+class TorchFCNet(tnn.Module):
+    """Reference FCNet twin (modules.py:13-60), eval mode."""
+
+    def __init__(self, in_dim, out_dim, mid_dim=0, layer=1):
+        super().__init__()
+        layers = []
+        if layer == 1 or mid_dim == 0:
+            layers.append(weight_norm(tnn.Linear(in_dim, out_dim), dim=None))
+        else:
+            layers.append(weight_norm(tnn.Linear(in_dim, mid_dim), dim=None))
+            layers.append(tnn.ReLU())
+            for _ in range(layer - 2):
+                layers.append(weight_norm(tnn.Linear(mid_dim, mid_dim), dim=None))
+                layers.append(tnn.ReLU())
+            layers.append(weight_norm(tnn.Linear(mid_dim, out_dim), dim=None))
+        layers.append(tnn.ReLU())
+        self.main = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.main(x)
+
+    def export(self):
+        out = {}
+        i = 0
+        for m in self.main:
+            if isinstance(m, tnn.Linear):
+                out[f"fc{i}"] = wn_params(m)
+                i += 1
+        return out
+
+
+class TorchUpDown(tnn.Module):
+    """Reference BaseEncoder + BasePredictor twin (encoder.py:96-183,
+    predictor.py:54-93) with MultiplyAttention (attention.py:55-86)."""
+
+    def __init__(self):
+        super().__init__()
+        self.embedding = tnn.Embedding(NTOKEN + 1, EMBED, padding_idx=NTOKEN)
+        self.q_rnn = tnn.GRU(input_size=EMBED, hidden_size=HIDDEN,
+                             batch_first=True)
+        self.att_wv = TorchFCNet(V_DIM, HIDDEN)
+        self.att_wq = TorchFCNet(HIDDEN, HIDDEN)
+        self.att_linear = weight_norm(tnn.Linear(HIDDEN, 1), dim=None)
+        self.q_net = TorchFCNet(HIDDEN, HIDDEN)
+        self.v_net = TorchFCNet(V_DIM, HIDDEN)
+        self.classifier = TorchFCNet(HIDDEN, ANS, mid_dim=2 * HIDDEN, layer=2)
+
+    def forward(self, img, q_tokens):
+        q = self.embedding(q_tokens)
+        out, _ = self.q_rnn(q)
+        q = out[:, -1]                              # last padded step
+        vp = self.att_wv(img)
+        qp = self.att_wq(q).unsqueeze(1)
+        att = torch.softmax(self.att_linear(vp * qp), 1)
+        v = att * img
+        q = self.q_net(q)
+        v = self.v_net(v.sum(1))
+        return self.classifier(q * v)
+
+
+def export_params(ref: TorchUpDown):
+    table = t2n(ref.embedding.weight)
+    return {
+        "encoder": {
+            "embedding": {"table": table},
+            "q_rnn": {
+                "wi_l0": t2n(ref.q_rnn.weight_ih_l0).T,
+                "bi_l0": t2n(ref.q_rnn.bias_ih_l0),
+                "wh_l0": t2n(ref.q_rnn.weight_hh_l0).T,
+                "bh_l0": t2n(ref.q_rnn.bias_hh_l0),
+            },
+            "attention": {
+                "W_v": ref.att_wv.export(),
+                "W_q": ref.att_wq.export(),
+                "linear": wn_params(ref.att_linear),
+            },
+            "q_net": ref.q_net.export(),
+        },
+        "predictor": {
+            "v_net": ref.v_net.export(),
+            "classifier": ref.classifier.export(),
+        },
+    }
+
+
+def test_updown_full_forward_matches_torch(rng):
+    torch.manual_seed(7)
+    ref = TorchUpDown().eval()
+
+    model = set_model(encoder_type="base", predictor_type="base",
+                      decoder_type="none", ntoken=NTOKEN, v_dim=V_DIM,
+                      embed_dim=EMBED, hidden_dim=HIDDEN,
+                      decoder_hidden_dim=16, ans_dim=ANS, c_len=8,
+                      dropout=0.2, att_type="new")
+
+    img = rng.standard_normal((B, OBJS, V_DIM)).astype(np.float32)
+    q = rng.integers(0, NTOKEN, (B, Q_LEN))
+    batch = {"img": jnp.asarray(img), "q": jnp.asarray(q)}
+
+    with torch.no_grad():
+        want = t2n(ref(torch.from_numpy(img), torch.from_numpy(q)))
+
+    got, _ = model.apply({"params": export_params(ref)}, batch)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_updown_concat_attention_matches_torch(rng):
+    """Same pipeline with ConcatAttention (att_type='base')."""
+    torch.manual_seed(8)
+
+    class TorchConcat(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc0 = weight_norm(tnn.Linear(V_DIM + HIDDEN, HIDDEN), dim=None)
+            self.fc1 = weight_norm(tnn.Linear(HIDDEN, 1), dim=None)
+
+        def forward(self, v, q):
+            q = q.unsqueeze(1).repeat(1, v.size(1), 1)
+            x = torch.relu(self.fc0(torch.cat((v, q), 2)))
+            return torch.softmax(self.fc1(x), 1)
+
+    ref = TorchUpDown().eval()
+    concat = TorchConcat().eval()
+
+    model = set_model(encoder_type="base", predictor_type="base",
+                      decoder_type="none", ntoken=NTOKEN, v_dim=V_DIM,
+                      embed_dim=EMBED, hidden_dim=HIDDEN,
+                      decoder_hidden_dim=16, ans_dim=ANS, c_len=8,
+                      dropout=0.2, att_type="base")
+
+    params = export_params(ref)
+    params["encoder"]["attention"] = {
+        "fc0": wn_params(concat.fc0),
+        "fc1": wn_params(concat.fc1),
+    }
+
+    img = rng.standard_normal((B, OBJS, V_DIM)).astype(np.float32)
+    q_tok = rng.integers(0, NTOKEN, (B, Q_LEN))
+
+    with torch.no_grad():
+        q = ref.embedding(torch.from_numpy(q_tok))
+        out, _ = ref.q_rnn(q)
+        qh = out[:, -1]
+        att = concat(torch.from_numpy(img), qh)
+        v = att * torch.from_numpy(img)
+        want = t2n(ref.classifier(ref.q_net(qh) * ref.v_net(v.sum(1))))
+
+    got, _ = model.apply({"params": params},
+                         {"img": jnp.asarray(img), "q": jnp.asarray(q_tok)})
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

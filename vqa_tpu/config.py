@@ -120,6 +120,11 @@ def parse_args(argv=None):
     # TPU-native additions (absent in the reference)
     parser.add_argument("--n_model_shards", type=int, default=1,
                         help="tensor-parallel axis size of the device mesh")
+    parser.add_argument("--train_strategy", type=str, default="joint",
+                        help="joint | select (Q-Relevant max-relevance "
+                             "backprop; the reference stubbed this out)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of a few steps")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
 

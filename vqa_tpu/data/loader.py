@@ -35,7 +35,9 @@ class Loader:
                  drop_last: bool = False,
                  prefetch: int = 2,
                  transform: Optional[Callable[[Dict[str, np.ndarray]],
-                                              Dict[str, np.ndarray]]] = None):
+                                              Dict[str, np.ndarray]]] = None,
+                 batch_method: str = "get_batch",
+                 length: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,19 +45,24 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.transform = transform
+        # e.g. "get_batch_all" for the max-relevance candidate feed
+        self.batch_method = batch_method
+        # index-space override: get_batch_all iterates question indices even
+        # though the all-captions dataset reports 5x length
+        self.length = length if length is not None else len(dataset)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self.length
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     @property
     def num_samples(self) -> int:
-        return len(self.dataset)
+        return self.length
 
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
+        n = self.length
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]
@@ -65,7 +72,7 @@ class Loader:
                     return
                 pad = np.full(self.batch_size - nvalid, idx[0] if nvalid else 0)
                 idx = np.concatenate([idx, pad])
-            batch = self.dataset.get_batch(list(idx))
+            batch = getattr(self.dataset, self.batch_method)(list(idx))
             batch["nvalid"] = np.int32(nvalid)
             if self.transform is not None:
                 batch = self.transform(batch)

@@ -25,7 +25,7 @@ from vqa_tpu.training.checkpoint import save_checkpoint
 from vqa_tpu.training.logging import Logger, MetricsWriter
 from vqa_tpu.parallel.mesh import make_mesh, shard_batch
 
-MODEL_KEYS = ("img", "q", "a", "c", "cap_len", "graph")
+MODEL_KEYS = ("img", "q", "a", "c", "cap_len", "graph", "c_all", "cap_len_all")
 
 
 def model_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -119,7 +119,9 @@ def train(model: VQAModel,
           ans_index: Optional[Dict] = None,
           init_state: Optional[TrainState] = None,
           profile_dir: Optional[str] = None,
-          profile_steps: tuple = (10, 20)):
+          profile_steps: tuple = (10, 20),
+          step_factory=make_train_step,
+          init_method: str = "get_loss"):
     """Train loop (reference train.py:11-136). Returns the final TrainState.
 
     ``profile_dir``: if set, capture a jax.profiler trace (Perfetto/XPlane)
@@ -140,9 +142,24 @@ def train(model: VQAModel,
         sample = model_batch(b)
         break
     assert sample is not None, "empty train loader"
-    state = init_state if init_state is not None else \
-        create_train_state(model, tx, sample, seed=seed)
-    train_step = make_train_step(model, tx)
+    if init_state is not None:
+        state = init_state
+    elif init_method == "select":
+        import functools
+        import jax.numpy as jnp
+        from vqa_tpu.training.select import get_select_loss
+        root = jax.random.key(seed)
+        init_key, run_key = jax.random.split(root)
+        variables = model.init({"params": init_key, "dropout": run_key},
+                               sample,
+                               method=functools.partial(get_select_loss,
+                                                        deterministic=True))
+        state = TrainState(params=variables["params"],
+                           opt_state=tx.init(variables["params"]),
+                           step=jnp.int32(0), rng=run_key)
+    else:
+        state = create_train_state(model, tx, sample, seed=seed)
+    train_step = step_factory(model, tx)
     eval_step = make_eval_step(model)
 
     has_predictor = model.predictor is not None
@@ -217,3 +234,28 @@ def train(model: VQAModel,
 
     writer.close()
     return state
+
+
+def train_select(model: VQAModel,
+                 lr: float,
+                 train_loader,
+                 val_loader,
+                 logger: Logger,
+                 save_path: str,
+                 num_epoches: int,
+                 **kwargs):
+    """Max-relevance training loop (the reference declares this with a
+    ``pass`` body, train.py:139-158; implemented here).
+
+    Same contract as ``train`` but the train_loader must yield all-candidate
+    batches (``Loader(dataset, ..., batch_method="get_batch_all",
+    length=len(dataset.questions))`` over a VQACaptionAllDataset) and the
+    step is the stop-gradient argmin-selection step
+    (vqa_tpu/training/select.py).
+    """
+    from vqa_tpu.training.select import make_train_select_step
+    return train(model=model, lr=lr, train_loader=train_loader,
+                 val_loader=val_loader, logger=logger, save_path=save_path,
+                 num_epoches=num_epoches,
+                 step_factory=make_train_select_step,
+                 init_method="select", **kwargs)
