@@ -174,3 +174,18 @@ def test_train_select_strategy(workdir):
     ckpt = path / "checkpoint" / "cli_select"
     assert (ckpt / "epoch_0.ckpt").exists()
     assert (ckpt / "best_model.ckpt").exists()
+
+
+def test_train_relation_encoder(workdir):
+    """ReGAT: relation encoder with spatial graphs via the CLI."""
+    path, root = workdir
+    run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_regat",
+        "--encoder_type", "relation", "--conv_type", "corr",
+        "--conv_layer", "1",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+        "--graph_path", root["graph_root"],
+    ]), cwd=path)
+    ckpt = path / "checkpoint" / "cli_regat"
+    assert (ckpt / "best_model.ckpt").exists()

@@ -188,3 +188,54 @@ def test_updown_concat_attention_matches_torch(rng):
     got, _ = model.apply({"params": params},
                          {"img": jnp.asarray(img), "q": jnp.asarray(q_tok)})
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_base_decoder_step_matches_torch(rng):
+    """BaseDecoder.decode == torch GRUCell + ConcatAttention chain
+    (generator.py:177-190), eval mode."""
+    from vqa_tpu.models.generator import BaseDecoder
+
+    DEC_H = 18
+    torch.manual_seed(9)
+    cell = tnn.GRUCell(input_size=EMBED + V_DIM, hidden_size=DEC_H)
+    att_fc0 = weight_norm(tnn.Linear(V_DIM + DEC_H, DEC_H), dim=None)
+    att_fc1 = weight_norm(tnn.Linear(DEC_H, 1), dim=None)
+    fcnet = tnn.Linear(DEC_H, NTOKEN)
+
+    dec = BaseDecoder(ntoken=NTOKEN, hidden_dim=DEC_H, max_len=8,
+                      dropout=0.5, rnn_type="GRU", att_type="base")
+    v = rng.standard_normal((B, OBJS, V_DIM)).astype(np.float32)
+    prev = rng.standard_normal((B, EMBED)).astype(np.float32)
+    h0 = np.zeros((B, DEC_H), np.float32)
+
+    params = {
+        "rnn": {"wi": t2n(cell.weight_ih).T, "bi": t2n(cell.bias_ih),
+                "wh": t2n(cell.weight_hh).T, "bh": t2n(cell.bias_hh)},
+        "attention": {"fc0": wn_params(att_fc0), "fc1": wn_params(att_fc1)},
+        "fcnet": {"w": t2n(fcnet.weight).T, "b": t2n(fcnet.bias)},
+    }
+
+    def fn(mdl, v, v_mean, prev, h):
+        return mdl.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                          deterministic=True)
+
+    h_list, logits, att = dec.apply(
+        {"params": params}, jnp.asarray(v), jnp.asarray(v.mean(1)),
+        jnp.asarray(prev), [jnp.asarray(h0)], method=fn)
+
+    with torch.no_grad():
+        tv = torch.from_numpy(v)
+        th = torch.from_numpy(h0)
+        q = th.unsqueeze(1).repeat(1, OBJS, 1)
+        logits_att = att_fc1(torch.relu(att_fc0(torch.cat((tv, q), 2))))
+        t_att = torch.softmax(logits_att, 1)
+        att_v = (t_att * tv).sum(1)
+        h_new = cell(torch.cat([torch.from_numpy(prev), att_v], dim=1), th)
+        want = fcnet(h_new)
+
+    np.testing.assert_allclose(np.asarray(att), t2n(t_att), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_list[0]), t2n(h_new), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits), t2n(want), rtol=1e-4,
+                               atol=1e-5)
