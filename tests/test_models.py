@@ -171,3 +171,23 @@ def test_masked_ce_matches_packed_ce(rng):
     want = torch.nn.functional.cross_entropy(torch.from_numpy(rows),
                                              torch.from_numpy(tgts))
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_relation_encoder_semantic_and_implicit(rng):
+    """use_imp + use_sem branches: implicit fully-connected graph and the
+    semantic-graph wiring (graph itself from an external detector)."""
+    from vqa_tpu.models.encoder import RelationEncoder
+    from vqa_tpu.models.predictor import BasePredictor
+    from vqa_tpu.models.wrapper import VQAModel
+    enc = RelationEncoder(ntoken=NTOKEN, embed_dim=EMBED, hidden_dim=HIDDEN,
+                          v_dim=V_DIM, num_objs=OBJS, dropout=0.1,
+                          use_imp=True, use_spa=True, use_sem=True)
+    model = VQAModel(encoder=enc,
+                     predictor=BasePredictor(HIDDEN, ANS, dropout=0.1))
+    batch = make_batch(rng, graph=True)
+    batch["sem_graph"] = jnp.asarray(rng.integers(0, 15, (B, OBJS, OBJS)))
+    params = model.init(jax.random.key(0), batch)
+    predict, _ = model.apply(params, batch)
+    assert predict.shape == (B, ANS)
+    tops = set(params["params"]["encoder"].keys())
+    assert {"implicit_encoder", "spatial_encoder", "semantic_encoder"} <= tops

@@ -143,3 +143,17 @@ def test_pallas_gru_fallback_on_odd_batch(rng):
     params = m.init(jax.random.key(0), batch)["params"]
     p, _ = m.apply({"params": params}, batch)
     assert p.shape == (7, 13)
+
+
+def test_gru_v2_matches_reference(rng):
+    from vqa_tpu.ops.pallas.gru_v2 import gru_last_state_v2
+    B, T, H = 16, 7, 32
+    xi = rng.standard_normal((B, T, 3 * H)).astype(np.float32)
+    wh = (rng.standard_normal((H, 3 * H)) * 0.1).astype(np.float32)
+    bh = rng.standard_normal(3 * H).astype(np.float32) * 0.1
+    want = gru_last_state_reference(jnp.asarray(xi), jnp.asarray(wh),
+                                    jnp.asarray(bh))
+    got = gru_last_state_v2(jnp.asarray(xi), jnp.asarray(wh),
+                            jnp.asarray(bh), tile_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -135,6 +135,17 @@ class RelationEncoder(BaseEncoder):
                                        conv_type=self.conv_type,
                                        dropout=self.dropout,
                                        name="spatial_encoder")
+        if self.use_sem:
+            # Semantic-relation branch: the graph itself must come from an
+            # external relationship detector (see data/relation.py
+            # semantic_relation docstring — the reference stubs this too,
+            # relation.py:48-62), but the encoder-side wiring is complete:
+            # feed int labels as batch['sem_graph'].
+            self.semantic_encoder = GCN(self.v_dim, num_labels=15,
+                                        conv_layer=self.conv_layer,
+                                        conv_type=self.conv_type,
+                                        dropout=self.dropout,
+                                        name="semantic_encoder")
 
     def __call__(self, batch, graph_alpha: bool = False, *,
                  deterministic: bool = True):
@@ -157,6 +168,13 @@ class RelationEncoder(BaseEncoder):
             graph = batch["graph"].astype(jnp.int32)
             new_v = self.spatial_encoder(v, graph, graph_alpha,
                                          deterministic=deterministic)
+            if graph_alpha:
+                new_v, g_att = new_v
+            output_v = output_v + new_v
+        if self.use_sem:
+            sem = batch["sem_graph"].astype(jnp.int32)
+            new_v = self.semantic_encoder(v, sem, graph_alpha,
+                                          deterministic=deterministic)
             if graph_alpha:
                 new_v, g_att = new_v
             output_v = output_v + new_v

@@ -155,7 +155,7 @@ class SentenceEmbedding(nn.Module):
     # (vqa_tpu/ops/pallas/gru.py); falls back to the XLA scan whenever the
     # configuration or batch shape doesn't fit the kernel
     use_pallas: bool = False
-    pallas_tile: int = 32
+    pallas_tile: int = 256
 
     def _layer_params(self, layer: int, direction: int, in_dim: int):
         ngates = 3 if self.rnn_type == "GRU" else 4
@@ -173,16 +173,19 @@ class SentenceEmbedding(nn.Module):
                     last_only: bool = False) -> jax.Array:
         assert self.rnn_type in ("LSTM", "GRU")
         if last_only and self._pallas_eligible(x):
-            # fused last-state path: hoisted input GEMM + VMEM-resident kernel
-            from vqa_tpu.ops.pallas.gru import gru_last_state
+            # fused last-state path: hoisted input GEMM + streaming kernel
+            # (v2: per-step double-buffered DMA, full-width batch tiles)
+            from vqa_tpu.ops.pallas.gru_v2 import gru_last_state_v2
             params = self._layer_params(0, 0, x.shape[-1])
             xi_all = jnp.matmul(x, params["wi"].astype(x.dtype),
                                 preferred_element_type=x.dtype) \
                 + params["bi"].astype(x.dtype)
             interpret = jax.default_backend() != "tpu"
-            out = gru_last_state(xi_all, params["wh"].astype(x.dtype),
-                                 params["bh"].astype(x.dtype),
-                                 tile_b=self.pallas_tile, interpret=interpret)
+            tile = next(t for t in (256, 128, 64, 32, 16, 8)
+                        if x.shape[0] % t == 0)
+            out = gru_last_state_v2(xi_all, params["wh"].astype(x.dtype),
+                                    params["bh"].astype(x.dtype),
+                                    tile_b=tile, interpret=interpret)
             return out.astype(x.dtype)
         ndir = 2 if self.bidirect else 1
         out = x
@@ -210,7 +213,7 @@ class SentenceEmbedding(nn.Module):
         return (self.use_pallas and self.rnn_type == "GRU"
                 and self.rnn_layer == 1 and not self.bidirect
                 and x.dtype == jnp.bfloat16
-                and x.shape[0] % self.pallas_tile == 0)
+                and x.shape[0] % 8 == 0)
 
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         return self.forward_all(x, deterministic=deterministic, last_only=True)
