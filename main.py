@@ -61,6 +61,7 @@ def build_model(args, vocab: Vocab, ans_list):
         conv_type=args.conv_type,
         use_mtl=args.use_mtl,
         frozen_embedding=frozen,
+        use_pallas=getattr(args, "use_pallas", False),
     )
 
 

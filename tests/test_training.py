@@ -191,3 +191,28 @@ def test_data_parallel_step_on_virtual_mesh(root):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
         new_state.params, ref_state.params)
+
+
+def test_two_stage_pipeline_matches_single_device(root):
+    """Encoder-on-device-0 / generator-on-device-7 pipeline produces the
+    same caption logits as the plain single-device forward."""
+    from vqa_tpu.parallel.pipeline import TwoStagePipeline, split_microbatches
+    import jax.numpy as jnp
+
+    model = _model(root, decoder_type="butd", predictor_type="none",
+                   dropout=0.0)
+    train_loader, _ = _loaders(root, dataset_type="vqa-e", batch_size=16)
+    batch = model_batch(next(iter(train_loader)))
+    params = model.init(jax.random.key(0), batch)["params"]
+
+    _, want = model.apply({"params": params}, batch)
+
+    pipe = TwoStagePipeline(model, params, jax.devices()[0], jax.devices()[-1])
+    micro = split_microbatches(batch, 4)
+    outs = pipe.run(micro)
+    got = np.concatenate([np.asarray(o["predict"]) for o in outs])
+    np.testing.assert_allclose(got, np.asarray(want["predict"]),
+                               rtol=2e-4, atol=1e-5)
+    # generator params actually live on the last device
+    leaf = jax.tree_util.tree_leaves(pipe.gen_params)[0]
+    assert jax.devices()[-1] in leaf.devices()

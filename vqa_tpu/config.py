@@ -125,6 +125,9 @@ def parse_args(argv=None):
                              "backprop; the reference stubbed this out)")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of a few steps")
+    parser.add_argument("--use_pallas", type=bool, default=False,
+                        help="route eligible ops through fused Pallas kernels "
+                             "(bf16 inference fast path)")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
 
