@@ -13,13 +13,20 @@ loop (batch 128, host npz dataloading), sustains ~2,500 questions/s.
 REF_GPU_QPS below encodes that; vs_baseline = value / (5 * REF_GPU_QPS), so
 vs_baseline >= 1.0 means the 5x target is met.
 
+Two configurations (see PERF.md):
+- fast: bf16 parameters + the streaming Pallas GRU kernel (294k q/s measured)
+  — long XLA compile through this harness's remote-compile relay (~5-7 min),
+  and one observed compile hang, so it runs in a watchdogged subprocess;
+- safe: f32 XLA (226k q/s, ~40 s compile) — the fallback that always lands.
+
 Measurement notes:
 - Each timed iteration fetches the predicted answer ids to the host
   (np.asarray), so the number includes dispatch + execution + result
   round-trip — execution is provably complete every iteration. (On this
   harness the TPU sits behind a relay whose ready-events resolve early, so
   wall-clocking with only block_until_ready over-counts; per-iteration
-  fetches are the reliable pattern.)
+  fetches are the reliable pattern. Queueing multiple executions before a
+  fetch can hang the relay, so the loop is strictly serial.)
 - Inputs are staged in HBM outside the loop. The harness tunnel's
   host->device bandwidth (~130 MB/s) is two orders of magnitude below a real
   v5e host link, so including the 75 MB/batch feature upload would benchmark
@@ -30,6 +37,9 @@ Measurement notes:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -40,6 +50,7 @@ TARGET_MULTIPLIER = 5.0
 BATCH_SIZE = 16384
 WARMUP = 2
 ITERS = 6
+FAST_TIMEOUT_S = 720
 
 NTOKEN = 20000
 ANS_DIM = 3129
@@ -48,7 +59,7 @@ V_DIM = 2048
 Q_LEN = 10
 
 
-def main():
+def run_config(fast: bool) -> float:
     import jax
     import jax.numpy as jnp
     from vqa_tpu.models.wrapper import set_model
@@ -62,7 +73,7 @@ def main():
         encoder_type="base", predictor_type="base", decoder_type="none",
         ntoken=NTOKEN, v_dim=V_DIM, embed_dim=300, hidden_dim=1024,
         decoder_hidden_dim=512, ans_dim=ANS_DIM, c_len=20, dropout=0.2,
-        att_type="new")
+        att_type="new", use_pallas=fast)
 
     rng = np.random.default_rng(0)
     batches = []
@@ -73,7 +84,12 @@ def main():
             "q": jnp.asarray(
                 rng.integers(0, NTOKEN, (BATCH_SIZE, Q_LEN)).astype(np.int32)),
         })
-    params = model.init(jax.random.key(0), batches[0])["params"]
+    small = {k: v[:32] for k, v in batches[0].items()}
+    params = model.init(jax.random.key(0), small)["params"]
+    if fast:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params)
 
     @jax.jit
     def infer(params, batch):
@@ -88,14 +104,39 @@ def main():
         labels = np.asarray(infer(params, batches[i % 2]))
     elapsed = time.perf_counter() - start
     assert labels.shape == (BATCH_SIZE,)
+    return BATCH_SIZE * ITERS / elapsed
 
-    qps = BATCH_SIZE * ITERS / elapsed
+
+def emit(qps: float) -> None:
     print(json.dumps({
         "metric": "vqa_updown_batch_inference_questions_per_sec_per_chip",
         "value": round(qps, 1),
         "unit": "questions/s",
         "vs_baseline": round(qps / (TARGET_MULTIPLIER * REF_GPU_QPS), 3),
     }))
+
+
+def main():
+    cfg = os.environ.get("VQA_BENCH_CONFIG", "")
+    if cfg:  # child process: run one configuration and print the raw qps
+        print(f"QPS {run_config(fast=(cfg == 'fast')):.1f}")
+        return
+
+    # try the fast configuration under a watchdog, fall back to safe
+    env = dict(os.environ, VQA_BENCH_CONFIG="fast",
+               PYTHONPATH=os.path.dirname(os.path.abspath(__file__))
+               + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=FAST_TIMEOUT_S)
+        for line in proc.stdout.splitlines():
+            if line.startswith("QPS "):
+                emit(float(line.split()[1]))
+                return
+    except subprocess.TimeoutExpired:
+        pass
+    emit(run_config(fast=False))
 
 
 if __name__ == "__main__":

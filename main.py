@@ -78,7 +78,15 @@ def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
         is_val=is_val,
         dataset_type=dataset_type,
     )
-    return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed)
+    transform = None
+    if getattr(args, "feature_dtype", "float32") != "float32":
+        dtype = np.dtype(args.feature_dtype)
+
+        def transform(batch, _dtype=dtype):
+            batch["img"] = batch["img"].astype(_dtype)
+            return batch
+    return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed,
+                  transform=transform)
 
 
 def main():
@@ -171,8 +179,15 @@ def main():
         params = load_params(load_model)
         print("load parameters: ", load_model)
 
-        with open(os.path.join(args.load_path, args.index_path)) as f:
-            ans_index = json.load(f)
+        index_path = os.path.join(args.load_path, args.index_path)
+        if index_path.endswith(".pkl"):
+            # reference-compatible pickle index (main.py:252-253)
+            import pickle
+            with open(index_path, "rb") as f:
+                ans_index = pickle.load(f)
+        else:
+            with open(index_path) as f:
+                ans_index = json.load(f)
 
         val_loader = make_loader(args, vocab, ans_list, dataset_type,
                                  is_val=True)

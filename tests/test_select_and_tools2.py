@@ -148,3 +148,16 @@ def test_explainability_metrics():
     att = np.array([[0.5, 0.3, 0.1, 0.1], [0.25, 0.25, 0.25, 0.25]])
     cov = attention_coverage(att, k=2)
     assert cov == pytest.approx((0.8 + 0.5) / 2)
+
+
+def test_show_att_visualization(rng, tmp_path):
+    from vqa_tpu.tools import visualize
+    if not visualize.HAS_PIL:
+        pytest.skip("PIL unavailable")
+    from PIL import Image
+    img = Image.new("RGB", (100, 80), (40, 90, 120))
+    att = np.array([0.5, 0.3, 0.2])
+    bbox = np.array([[5, 5, 40, 40], [50, 10, 90, 50], [10, 50, 60, 75]],
+                    np.float32)
+    out = visualize.show_att(att, img, bbox, k=2)
+    assert out.size == (100, 80)

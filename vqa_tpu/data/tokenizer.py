@@ -28,8 +28,8 @@ class Vocab:
 
     def __init__(self, words: Sequence[str]):
         self.words: List[str] = list(words)
-        self._index = {w: i for i, w in enumerate(self.words)}
         # first occurrence wins, like list.index
+        self._index = {}
         for i in range(len(self.words) - 1, -1, -1):
             self._index[self.words[i]] = i
         self.oov = self._index["<oov>"]
