@@ -225,3 +225,21 @@ def test_grain_loader_adapter(root):
     b = batches[0]
     assert b["img"].shape == (8, root["num_objs"], root["v_dim"])
     assert b["a"].shape == (8, root["ans_dim"])
+
+
+def test_int8_quantized_shards(root, tmp_path):
+    feat_dir = os.path.join(root["feature_root"], root["split"])
+    prefix = str(tmp_path / "q8")
+    packed = pack_feature_dir(feat_dir, prefix, feature_dtype=np.int8)
+    name = sorted(os.listdir(feat_dir))[0]
+    want = np.load(os.path.join(feat_dir, name))["x"]
+    row = np.asarray([packed.row(name)])
+    # dequantized gather approximates the original within quant error
+    got = packed.gather(row)[0]
+    scale = np.abs(want).max(axis=1) / 127.0
+    assert np.abs(got - want).max() <= scale.max() * 0.51 + 1e-6
+    # raw payload path
+    q, s = packed.gather_quantized(row)
+    assert q.dtype == np.int8 and s.shape == (1, want.shape[0])
+    np.testing.assert_allclose(q[0].astype(np.float32) * s[0][:, None], got,
+                               rtol=1e-6)

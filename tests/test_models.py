@@ -191,3 +191,21 @@ def test_relation_encoder_semantic_and_implicit(rng):
     assert predict.shape == (B, ANS)
     tops = set(params["params"]["encoder"].keys())
     assert {"implicit_encoder", "spatial_encoder", "semantic_encoder"} <= tops
+
+
+def test_on_device_int8_dequant_input(rng):
+    """batch with img_q/img_scale == batch with pre-dequantized img."""
+    model, params, batch = build(rng)
+    img = np.asarray(batch["img"])
+    scale = np.abs(img).max(axis=2) / 127.0 + 1e-8
+    q = np.clip(np.rint(img / scale[..., None]), -127, 127).astype(np.int8)
+    deq = {k: v for k, v in batch.items() if k != "img"}
+    deq["img_q"] = jnp.asarray(q)
+    deq["img_scale"] = jnp.asarray(scale.astype(np.float32))
+    ref_batch = dict(deq)
+    ref_batch.pop("img_q"); ref_batch.pop("img_scale")
+    ref_batch["img"] = jnp.asarray(q.astype(np.float32) * scale[..., None])
+    p1, _ = model.apply(params, deq)
+    p2, _ = model.apply(params, ref_batch)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
+                               atol=1e-6)

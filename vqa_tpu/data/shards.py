@@ -5,7 +5,10 @@ DataLoader workers (`/root/reference/dataset.py:93-104`) — ~113 KB random
 reads x batch 128, the data-feed hot path (SURVEY.md section 3.1). For TPU
 feeding we convert that directory once into contiguous memory-mapped arrays:
 
-- ``<prefix>_features.npy``  [N, num_objs, v_dim]   (float16 by default)
+- ``<prefix>_features.npy``  [N, num_objs, v_dim]   (float16 by default, or
+  int8 with per-box scales in ``<prefix>_scales.npy`` [N, num_objs] float32
+  when packed with ``feature_dtype=np.int8`` — on-device dequantization
+  halves the host->HBM bytes again vs f16)
 - ``<prefix>_bbox.npy``      [N, num_objs, 4]        float32
 - ``<prefix>_graphs.npy``    [N, num_objs, num_objs] int8 (optional)
 - ``<prefix>_index.json``    {img_file: row}
@@ -35,6 +38,8 @@ class PackedFeatures:
         self.bbox = np.load(bbox_path, mmap_mode="r") if os.path.exists(bbox_path) else None
         graph_path = prefix + "_graphs.npy"
         self.graphs = np.load(graph_path, mmap_mode="r") if os.path.exists(graph_path) else None
+        scales_path = prefix + "_scales.npy"
+        self.scales = np.load(scales_path, mmap_mode="r") if os.path.exists(scales_path) else None
 
     def row(self, img_file: str) -> int:
         return self.index[img_file]
@@ -44,11 +49,25 @@ class PackedFeatures:
 
         Uses the threaded native gather (+f16 widening) when the C++ library
         is available (vqa_tpu/native.py), numpy fancy-indexing otherwise.
+        int8-packed stores dequantize here unless the caller asks for the
+        raw quantized payload via ``gather_quantized``.
         """
         from vqa_tpu import native
+        if self.features.dtype == np.int8:
+            q, scales = self.gather_quantized(rows)
+            return (q.astype(np.float32)
+                    * scales[..., None].astype(np.float32)).astype(dtype)
         out = native.gather_rows(self.features, np.asarray(rows),
                                  widen_f16=(dtype == np.float32))
         return out if out.dtype == dtype else out.astype(dtype)
+
+    def gather_quantized(self, rows: np.ndarray):
+        """int8 payload + per-box scales (device-side dequant path)."""
+        assert self.features.dtype == np.int8 and self.scales is not None
+        from vqa_tpu import native
+        rows = np.asarray(rows)
+        q = native.gather_rows(self.features, rows, widen_f16=False)
+        return q, np.asarray(self.scales[rows])
 
     def gather_graphs(self, rows: np.ndarray) -> np.ndarray:
         assert self.graphs is not None, "no packed graphs at this prefix"
@@ -71,9 +90,13 @@ def pack_feature_dir(feature_dir: str, out_prefix: str,
     num_objs, v_dim = first["x"].shape
     has_bbox = "bbox" in first
 
+    quantize = np.dtype(feature_dtype) == np.int8
     feats = np.lib.format.open_memmap(
         out_prefix + "_features.npy", mode="w+", dtype=feature_dtype,
         shape=(len(names), num_objs, v_dim))
+    scales = np.lib.format.open_memmap(
+        out_prefix + "_scales.npy", mode="w+", dtype=np.float32,
+        shape=(len(names), num_objs)) if quantize else None
     bbox = np.lib.format.open_memmap(
         out_prefix + "_bbox.npy", mode="w+", dtype=np.float32,
         shape=(len(names), num_objs, 4)) if has_bbox else None
@@ -84,13 +107,23 @@ def pack_feature_dir(feature_dir: str, out_prefix: str,
     index = {}
     for i, name in enumerate(names):
         z = np.load(os.path.join(feature_dir, name))
-        feats[i] = z["x"].astype(feature_dtype)
+        if quantize:
+            x = z["x"].astype(np.float32)
+            s = np.abs(x).max(axis=1) / 127.0          # per-box symmetric
+            s = np.maximum(s, 1e-8)
+            feats[i] = np.clip(np.rint(x / s[:, None]), -127, 127
+                               ).astype(np.int8)
+            scales[i] = s
+        else:
+            feats[i] = z["x"].astype(feature_dtype)
         if bbox is not None:
             bbox[i] = z["bbox"]
         if graphs is not None:
             graphs[i] = np.load(os.path.join(graph_dir, name))["graph"]
         index[name] = i
     feats.flush()
+    if scales is not None:
+        scales.flush()
     if bbox is not None:
         bbox.flush()
     if graphs is not None:

@@ -53,7 +53,7 @@ class CaptionEncoder(nn.Module):
 
     def __call__(self, batch: Dict[str, jax.Array], *, deterministic: bool = True
                  ) -> Dict[str, Any]:
-        out = {"v": batch["img"]}
+        out = {"v": BaseEncoder._visual_input(batch)}
         if "c" in batch:
             out["c"] = self.embedding(batch["c"])
             out["c_target"] = batch["c"]
@@ -91,9 +91,19 @@ class BaseEncoder(nn.Module):
         (mirrors model.encoder.embedding use at tools/caption.py:93)."""
         return self.embedding(tokens)
 
+    @staticmethod
+    def _visual_input(batch: Dict[str, jax.Array]) -> jax.Array:
+        """Visual features, with on-device int8 dequantization when the feed
+        ships quantized payloads ('img_q' int8 + 'img_scale' per-box) —
+        halves host->HBM bytes vs f16 (see data/shards.py)."""
+        if "img_q" in batch:
+            q = batch["img_q"].astype(jnp.float32)
+            return q * batch["img_scale"][..., None].astype(jnp.float32)
+        return batch["img"]
+
     def base_forward(self, batch: Dict[str, jax.Array], *,
                      deterministic: bool = True) -> Dict[str, Any]:
-        v = batch["img"]
+        v = self._visual_input(batch)
         q = self.embedding(batch["q"])                 # [B, q_len, embed]
         q = self.q_rnn(q, deterministic=deterministic)  # [B, hidden] (last padded step)
         v_att = self.attention(v, q, deterministic=deterministic)  # [B, objs, 1]
