@@ -24,7 +24,7 @@ comment (gcn.py:104-107) — replicated as-is.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Scoring fixes two reference defects deliberately (divergences documented):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import jax

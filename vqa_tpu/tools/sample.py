@@ -8,7 +8,7 @@ over the jitted inference path.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

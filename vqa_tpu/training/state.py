@@ -11,14 +11,14 @@ in-place in HBM.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from vqa_tpu.models.wrapper import VQAModel, compute_score
+from vqa_tpu.models.wrapper import VQAModel
 
 
 class TrainState(struct.PyTreeNode):

@@ -23,7 +23,7 @@ from vqa_tpu.training.state import (
 )
 from vqa_tpu.training.checkpoint import save_checkpoint
 from vqa_tpu.training.logging import Logger, MetricsWriter
-from vqa_tpu.parallel.mesh import make_mesh, shard_batch
+from vqa_tpu.parallel.mesh import shard_batch
 
 MODEL_KEYS = ("img", "img_q", "img_scale", "q", "a", "c", "cap_len", "graph",
               "c_all", "cap_len_all")
