@@ -189,3 +189,20 @@ def test_train_relation_encoder(workdir):
     ]), cwd=path)
     ckpt = path / "checkpoint" / "cli_regat"
     assert (ckpt / "best_model.ckpt").exists()
+
+
+def test_resume_from_checkpoint(workdir):
+    """--start_epoch resume restores the full train state (main.py parity)."""
+    path, root = workdir
+    args = common_args(root, [
+        "--mode", "train", "--comment", "cli_resume",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+    ])
+    run_cli("main.py", args, cwd=path)
+    # continue for a second epoch from the saved state
+    run_cli("main.py", args + ["--start_epoch", "1", "--epoches", "2"],
+            cwd=path)
+    ckpt = path / "checkpoint" / "cli_resume"
+    assert (ckpt / "epoch_0.ckpt").exists()
+    assert (ckpt / "epoch_1.ckpt").exists()

@@ -105,3 +105,38 @@ class Loader:
                     raise error[0]
                 return
             yield item
+
+
+def prefetch_to_device(iterator, mesh=None, size: int = 2,
+                       keys=None):
+    """Wrap a host-batch iterator so device transfer runs ahead of compute.
+
+    Keeps up to ``size`` batches already transferred (sharded over the mesh
+    when given) while the consumer computes — the standard double-buffering
+    pattern that hides host->HBM copies behind the step. Non-array
+    bookkeeping entries (``nvalid``, ``id``) pass through untouched.
+    """
+    import collections
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if keys is not None and k not in keys:
+                out[k] = v
+                continue
+            arr = np.asarray(v)
+            if mesh is not None and arr.ndim >= 1                     and arr.shape[0] % mesh.shape["data"] == 0:
+                out[k] = jax.device_put(arr, NamedSharding(mesh, P("data")))
+            else:
+                out[k] = jax.device_put(arr)
+        return out
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -188,19 +188,22 @@ def train(model: VQAModel,
             logger.show(f"[Epoch {epoch}] avg_loss: {avg_loss:.4f}")
         return best_score, best_epoch
 
+    from vqa_tpu.data.loader import prefetch_to_device
+
     for epoch in range(start_epoch, num_epoches):
         start = time.time()
         avg_loss = 0.0
         prev_loss = 0.0
-        for i, batch in enumerate(train_loader):
+        # device transfer runs ahead of compute (double-buffered)
+        feed = prefetch_to_device(
+            (model_batch(b) for b in train_loader), mesh=mesh, size=2,
+            keys=MODEL_KEYS)
+        for i, mb in enumerate(feed):
             if batches and i == batches:
                 break
             gstep = epoch * steps_per_epoch + i
             if profile_dir and gstep == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
-            mb = model_batch(batch)
-            if mesh is not None:
-                mb = shard_batch(mesh, mb)
             state, metrics = train_step(state, mb)
             if profile_dir and gstep == profile_steps[1]:
                 jax.tree_util.tree_map(
