@@ -8,7 +8,9 @@ overlaps the step-t compute), so the batch tile can be 256 rows: full MXU
 occupancy while VMEM holds only 2 step slices + the resident weight.
 
 VMEM budget (tile 256, bf16): 2 x 1.6 MB xi slices + 6.3 MB weight +
-~2 MB live values ~= 11 MB.
+~2 MB live values ~= 11 MB.. The input is transposed
+to time-major [T, B, 3H] first (Mosaic requires HBM slice alignment on the
+second-to-last dim, so per-step slicing must land on the leading dim).
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ def _kernel(xi_hbm, wh_hbm, bh_ref, out_ref, xi_buf, wh_vmem, sems, wh_sem,
         w_dma.wait()
 
     def step_dma(slot, t):
+        # time-major input: Mosaic requires HBM slices aligned on the
+        # second-to-last dim, so per-step slicing must land on dim 0
         return pltpu.make_async_copy(
             xi_hbm.at[t, pl.ds(tile_start, tile_b), :],
             xi_buf.at[slot],
