@@ -157,3 +157,22 @@ def test_gru_v2_matches_reference(rng):
                             jnp.asarray(bh), tile_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_gru_v3_matches_scan(rng):
+    """v3 (input GEMM folded into the kernel) == rnn_scan end to end."""
+    from vqa_tpu.ops.pallas.gru_v3 import gru_last_state_v3
+    from vqa_tpu.ops.rnn import rnn_scan
+    B, T, E, H = 16, 6, 12, 32
+    emb = rng.standard_normal((B, T, E)).astype(np.float32)
+    wi = (rng.standard_normal((E, 3 * H)) * 0.1).astype(np.float32)
+    bi = rng.standard_normal(3 * H).astype(np.float32) * 0.1
+    wh = (rng.standard_normal((H, 3 * H)) * 0.1).astype(np.float32)
+    bh = rng.standard_normal(3 * H).astype(np.float32) * 0.1
+    got = gru_last_state_v3(*map(jnp.asarray, (emb, wi, bi, wh, bh)),
+                            tile_b=8, interpret=True)
+    params = {"wi": jnp.asarray(wi), "bi": jnp.asarray(bi),
+              "wh": jnp.asarray(wh), "bh": jnp.asarray(bh)}
+    want = rnn_scan(params, jnp.asarray(emb))[:, -1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
