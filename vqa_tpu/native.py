@@ -89,7 +89,9 @@ def gather_rows(src: np.ndarray, rows: np.ndarray,
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     row_shape = src.shape[1:]
     row_elems = int(np.prod(row_shape))
-    if lib is None:
+    # ctypes pointer math assumes C-contiguous source; memmaps opened by
+    # PackedFeatures are, but fall back safely for arbitrary views
+    if lib is None or not src.flags["C_CONTIGUOUS"]:
         out = np.asarray(src[rows])
         return out.astype(np.float32) if (widen_f16 and
                                           out.dtype == np.float16) else out
