@@ -209,3 +209,18 @@ def test_on_device_int8_dequant_input(rng):
     p2, _ = model.apply(params, ref_batch)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("decoder_type", ["base", "butd"])
+def test_lstm_decoder_forward_and_beam(rng, decoder_type):
+    """LSTM cell path through decoders + beam search (reference rnn_type)."""
+    from vqa_tpu.tools.beam import make_beam_search
+    model, params, batch = build(rng, decoder_type=decoder_type,
+                                 predictor_type="none", rnn_type="LSTM")
+    _, caption = model.apply(params, batch)
+    assert caption["predict"].shape == (B, C_LEN - 1, NTOKEN)
+    assert np.isfinite(np.asarray(caption["predict"])).all()
+    bs = make_beam_search(model, k=2, c_len=C_LEN, start_id=NTOKEN - 3,
+                          end_id=NTOKEN - 2)
+    tokens, scores = bs(params["params"], batch)
+    assert tokens.shape == (B, 2, C_LEN)

@@ -246,3 +246,25 @@ def test_label_bias_sum_matches_gather(rng):
     got = label_bias_sum(jnp.asarray(graph), jnp.asarray(bias), 12)
     want = bias[graph, :].sum(axis=2)  # the reference's host-side gather
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_two_layer_gru_matches_torch(rng):
+    """Multi-layer path (rnn_layer=2) against torch."""
+    torch.manual_seed(11)
+    in_dim, hid, t_len = 10, 14, 7
+    ref = tnn.GRU(input_size=in_dim, hidden_size=hid, num_layers=2,
+                  batch_first=True)
+    x = rng.standard_normal((4, t_len, in_dim)).astype(np.float32)
+    model = SentenceEmbedding(hidden_dim=hid, rnn_layer=2, rnn_type="GRU")
+    model.init(jax.random.key(0), jnp.asarray(x))
+    params = {"params": {
+        "wi_l0": t2n(ref.weight_ih_l0).T, "bi_l0": t2n(ref.bias_ih_l0),
+        "wh_l0": t2n(ref.weight_hh_l0).T, "bh_l0": t2n(ref.bias_hh_l0),
+        "wi_l1": t2n(ref.weight_ih_l1).T, "bi_l1": t2n(ref.bias_ih_l1),
+        "wh_l1": t2n(ref.weight_hh_l1).T, "bh_l1": t2n(ref.bias_hh_l1),
+    }}
+    got = model.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(got), t2n(want)[:, -1],
+                               rtol=1e-4, atol=1e-5)
