@@ -216,3 +216,28 @@ def test_two_stage_pipeline_matches_single_device(root):
     # generator params actually live on the last device
     leaf = jax.tree_util.tree_leaves(pipe.gen_params)[0]
     assert jax.devices()[-1] in leaf.devices()
+
+
+def test_orbax_checkpoint_roundtrip(root, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from vqa_tpu.training.checkpoint import (
+        save_checkpoint_orbax, load_checkpoint_orbax,
+    )
+    model = _model(root)
+    train_loader, _ = _loaders(root)
+    tx = optim_lib.make_optimizer(lr=2e-3, steps_per_epoch=len(train_loader))
+    batch = model_batch(next(iter(train_loader)))
+    state = create_train_state(model, tx, batch, seed=0)
+    step = make_train_step(model, tx)
+    state, _ = step(state, batch)
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, state, epoch=1, best_score=0.25)
+
+    blank = create_train_state(model, tx, batch, seed=42)
+    restored = load_checkpoint_orbax(path, blank)
+    assert restored["epoch"] == 1
+    assert restored["best_score"] == 0.25
+    assert int(restored["state"].step) == 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params, restored["state"].params)

@@ -116,3 +116,46 @@ def merge_params(target: Any, loaded: Any) -> Any:
     t = np.asarray(target)
     l = np.asarray(loaded)
     return loaded if t.shape == l.shape else target
+
+
+# ---------------------------------------------------------------- orbax
+
+def save_checkpoint_orbax(path: str, state: TrainState, epoch: int,
+                          best_score: float = 0.0) -> None:
+    """Orbax-backed save (interoperable with the orbax tooling ecosystem).
+
+    Same payload as ``save_checkpoint``; ``path`` becomes an orbax checkpoint
+    directory. The msgpack format remains the default (single-file, no extra
+    dependency surface); this is the alternative for users already running
+    orbax-managed checkpoint retention/preemption tooling.
+    """
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
+        "step": np.asarray(int(state.step)),
+        "rng": np.asarray(jax.random.key_data(state.rng)),
+        "epoch": np.asarray(int(epoch)),
+        "best_score": np.asarray(float(best_score)),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint_orbax(path: str, state: TrainState) -> Dict[str, Any]:
+    """Restore from an orbax checkpoint directory into an existing state."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    restored = state.replace(
+        params=serialization.from_state_dict(state.params, payload["params"]),
+        opt_state=serialization.from_state_dict(state.opt_state,
+                                                payload["opt_state"]),
+        step=jax.numpy.int32(payload["step"]),
+        rng=jax.random.wrap_key_data(jax.numpy.asarray(payload["rng"])),
+    )
+    return {"state": restored, "epoch": int(payload["epoch"]),
+            "best_score": float(payload["best_score"])}
