@@ -22,6 +22,12 @@ if os.environ.get("VQA_TPU_PLATFORM"):
     import jax
     jax.config.update("jax_platforms", os.environ["VQA_TPU_PLATFORM"])
 
+if os.environ.get("VQA_TPU_MULTIHOST"):
+    # multi-host pod slice: one process per host over DCN
+    # (SURVEY.md section 5.8); mesh axes then span all hosts' devices
+    import jax
+    jax.distributed.initialize()
+
 from vqa_tpu.config import Argument, parse_args, save_args, dataset_type_from_args
 from vqa_tpu.data.dataset import set_dataset
 from vqa_tpu.data.loader import Loader
