@@ -224,3 +224,15 @@ def test_lstm_decoder_forward_and_beam(rng, decoder_type):
                           end_id=NTOKEN - 2)
     tokens, scores = bs(params["params"], batch)
     assert tokens.shape == (B, 2, C_LEN)
+
+
+def test_gcn_lstm_composition(rng):
+    """Relation encoder + caption decoder: the 'GCN-LSTM' row the reference
+    model matrix marks as not implemented (README.md:20-26) — supported here
+    by composition."""
+    model, params, batch = build(rng, encoder_type="relation",
+                                 decoder_type="butd", predictor_type="none",
+                                 rnn_type="LSTM")
+    _, caption = model.apply(params, batch)
+    assert caption["predict"].shape == (B, C_LEN - 1, NTOKEN)
+    assert np.isfinite(np.asarray(caption["predict"])).all()
