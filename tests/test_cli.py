@@ -206,3 +206,16 @@ def test_resume_from_checkpoint(workdir):
     ckpt = path / "checkpoint" / "cli_resume"
     assert (ckpt / "epoch_0.ckpt").exists()
     assert (ckpt / "epoch_1.ckpt").exists()
+
+
+def test_tpu_flags_smoke(workdir):
+    """--use_pallas / --feature_dtype / --n_model_shards plumb through train."""
+    path, root = workdir
+    run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_flags",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+        "--use_pallas", "1", "--feature_dtype", "float16",
+        "--batches", "2",
+    ]), cwd=path)
+    assert (path / "checkpoint" / "cli_flags" / "epoch_0.ckpt").exists()
