@@ -150,3 +150,48 @@ def test_bleu_brevity_penalty():
     short = {0: ["a b c"]}
     full = {0: ["a b c d e f"]}
     assert metrics.bleu(refs, short)[0] < metrics.bleu(refs, full)[0]
+
+
+def test_beam_scores_match_recomputed_sequence_logp(setup):
+    """The returned normalized score of each beam equals the independently
+    recomputed sum of per-step log-probs of its token sequence — validates
+    all beam bookkeeping (gathering, lengths, finished handling)."""
+    model, params, batch = setup
+    vocab = _vocab()
+    k = 3
+    bs = make_beam_search(model, k=k, c_len=C_LEN, start_id=vocab.start,
+                          end_id=vocab.end)
+    tokens, scores = bs(params, batch)
+    tokens = np.asarray(tokens)
+    scores = np.asarray(scores)
+
+    def fn(mdl, v, v_mean, prev_tokens, h):
+        prev = mdl.encoder.embed(prev_tokens)
+        return mdl.generator.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                    deterministic=True)
+
+    def enc(mdl, b):
+        return mdl.encoder(b, deterministic=True)
+
+    embed = model.apply({"params": params}, batch, method=enc)
+    v = embed["v"]
+    v_mean = jnp.mean(v, axis=1)
+
+    for b in range(B):
+        for beam in range(k):
+            seq = tokens[b, beam]
+            h = model.generator.init_hidden(1, v.dtype)
+            logp = 0.0
+            length = 1
+            for t in range(C_LEN - 1):
+                cur = jnp.asarray([seq[t]], jnp.int32)
+                h, logits, _ = model.apply({"params": params}, v[b:b + 1],
+                                           v_mean[b:b + 1], cur, h, method=fn)
+                ls = np.asarray(jax.nn.log_softmax(logits, axis=-1))[0]
+                logp += ls[seq[t + 1]]
+                length += 1
+                if seq[t + 1] == vocab.end:
+                    break
+            want = logp / (length - 1 + 1e-6)
+            np.testing.assert_allclose(scores[b, beam], want, rtol=1e-3,
+                                       atol=1e-4)
