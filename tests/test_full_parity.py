@@ -239,3 +239,79 @@ def test_base_decoder_step_matches_torch(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(logits), t2n(want), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_masked_teacher_forcing_equals_shrinking_batch_loop(rng):
+    """Our fixed-shape masked decoder forward == the reference's
+    length-sorted shrinking-batch loop (generator.py:66-120), emulated
+    exactly in torch: identical per-position logits and identical packed-CE
+    loss. This closes the loop on the TPU-first redesign of the caption
+    training path (SURVEY.md section 5.7)."""
+    from vqa_tpu.models.generator import BaseDecoder
+    from vqa_tpu.models.wrapper import ce_for_language_model
+
+    DEC_H, MAX_LEN = 18, 6
+    torch.manual_seed(10)
+    cell = tnn.GRUCell(input_size=EMBED + V_DIM, hidden_size=DEC_H)
+    att_fc0 = weight_norm(tnn.Linear(V_DIM + DEC_H, DEC_H), dim=None)
+    att_fc1 = weight_norm(tnn.Linear(DEC_H, 1), dim=None)
+    fcnet = tnn.Linear(DEC_H, NTOKEN)
+
+    dec = BaseDecoder(ntoken=NTOKEN, hidden_dim=DEC_H, max_len=MAX_LEN,
+                      dropout=0.5, rnn_type="GRU", att_type="base")
+    params = {"params": {
+        "rnn": {"wi": t2n(cell.weight_ih).T, "bi": t2n(cell.bias_ih),
+                "wh": t2n(cell.weight_hh).T, "bh": t2n(cell.bias_hh)},
+        "attention": {"fc0": wn_params(att_fc0), "fc1": wn_params(att_fc1)},
+        "fcnet": {"w": t2n(fcnet.weight).T, "b": t2n(fcnet.bias)},
+    }}
+
+    v = rng.standard_normal((B, OBJS, V_DIM)).astype(np.float32)
+    c_tok = rng.integers(0, NTOKEN, (B, MAX_LEN))
+    cap_len = np.array([6, 3, 5, 2, 4])
+    # caption embeddings: a fixed random table lookup shared by both sides
+    table = rng.standard_normal((NTOKEN, EMBED)).astype(np.float32)
+    c_emb = table[c_tok]
+
+    # ours: full batch + mask
+    out = dec.apply(params, {"v": jnp.asarray(v), "c": jnp.asarray(c_emb),
+                             "cap_len": jnp.asarray(cap_len),
+                             "c_target": jnp.asarray(c_tok)})
+    ours_loss = float(ce_for_language_model(out["predict"], out["target"],
+                                            out["mask"]))
+
+    # torch: the reference's shrinking-batch loop, bit for bit
+    with torch.no_grad():
+        order = np.argsort(-cap_len, kind="stable")
+        vs = torch.from_numpy(v[order])
+        cs = torch.from_numpy(c_emb[order])
+        ts = torch.from_numpy(c_tok[order])
+        lens = cap_len[order]
+        decode_len = lens - 1
+        h = torch.zeros(B, DEC_H)
+        outputs = torch.zeros(B, MAX_LEN, NTOKEN)
+        for t in range(int(decode_len.max())):
+            bt = int((decode_len > t).sum())
+            ht = h[:bt]
+            q = ht.unsqueeze(1).repeat(1, OBJS, 1)
+            att = torch.softmax(att_fc1(torch.relu(att_fc0(
+                torch.cat((vs[:bt], q), 2)))), 1)
+            att_v = (att * vs[:bt]).sum(1)
+            h = cell(torch.cat([cs[:bt, t, :], att_v], dim=1), ht)
+            outputs[:bt, t, :] = fcnet(h)
+        # packed positions + CE like wrapper.py:32-36 / generator.py:117-120
+        rows, tgts = [], []
+        for i in range(B):
+            rows.append(outputs[i, :decode_len[i]])
+            tgts.append(ts[i, 1:1 + decode_len[i]])
+        want_loss = float(torch.nn.functional.cross_entropy(
+            torch.cat(rows), torch.cat(tgts)))
+
+        # per-position logits must agree too (unsort ours)
+        ours_pred = np.asarray(out["predict"])[order]
+        for i in range(B):
+            np.testing.assert_allclose(ours_pred[i, :decode_len[i]],
+                                       outputs[i, :decode_len[i]].numpy(),
+                                       rtol=1e-4, atol=1e-4)
+
+    np.testing.assert_allclose(ours_loss, want_loss, rtol=1e-5)
