@@ -1,10 +1,11 @@
 """Caption metric scoring CLI.
 
-Port of `/root/reference/cap_eval.py:41-69`: reads ``checkpoint/<exp>/
-decode.txt`` and a reference captions JSON, scores BLEU-1..4 / METEOR /
-ROUGE-L / CIDEr, writes ``eval_result.txt``. Metrics come from the native
-implementation in vqa_tpu/tools/metrics.py (pycocoevalcap is not available
-in this environment; see that module's docstring for exact semantics).
+Same interface and artifacts as `/root/reference/cap_eval.py` (reads
+``checkpoint/<exp>/decode.txt`` plus a reference-captions JSON, scores
+BLEU-1..4 / METEOR / ROUGE-L / CIDEr, writes ``eval_result.txt``), with the
+scoring machinery from vqa_tpu/tools/metrics.py (pycocoevalcap is not
+available in this environment; see that module's docstring for exact
+semantics).
 """
 
 from __future__ import annotations
@@ -13,46 +14,51 @@ import argparse
 import json
 import os
 
-from vqa_tpu.tools.metrics import score
+
+def load_decoded(path: str) -> dict:
+    """decode.txt -> {line_index: [caption]} with <start> markers stripped."""
+    with open(path, encoding="utf-8") as f:
+        lines = [ln.replace("<start> ", "") for ln in f.read().splitlines() if ln]
+    return {i: [ln] for i, ln in enumerate(lines)}
 
 
-def parse_args():
+def load_reference_captions(path: str) -> dict:
+    """{split}_captions.json -> {line_index: [caption, ...]} per question.
+
+    Each entry's ``c_word`` may be a single caption (VQA-E explanation) or
+    the full 5-caption COCO group; scoring always receives a list.
+    """
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)["data"]
+    refs = {}
+    for i, entry in enumerate(data):
+        caps = entry["c_word"]
+        refs[i] = caps if isinstance(caps, list) else [caps]
+    return refs
+
+
+def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
     parser.add_argument("--load_ref", type=str,
                         default="../annot/VQA-E/val2014_captions.json")
     parser.add_argument("--load_path", type=str)
-    return parser.parse_args()
+    args = parser.parse_args(argv)
 
+    from vqa_tpu.tools.metrics import score
 
-def main():
-    args = parse_args()
-    hypotheses = {}
-    index = 0
-    print("Load predicted captions:", args.load_path)
-    with open(os.path.join("checkpoint", args.load_path, "decode.txt")) as f:
-        for s in f.read().split("\n"):
-            if len(s) != 0:
-                hypotheses[index] = [s.replace("<start> ", "")]
-                index += 1
-
-    references = {}
-    index = 0
-    print("Load target captions:", args.load_ref)
-    with open(args.load_ref) as f:
-        target = json.load(f)
-        for s in target["data"]:
-            c = s["c_word"]
-            references[index] = c if isinstance(c, list) else [c]
-            index += 1
+    exp_dir = os.path.join("checkpoint", args.load_path)
+    hypotheses = load_decoded(os.path.join(exp_dir, "decode.txt"))
+    references = load_reference_captions(args.load_ref)
+    print(f"scoring {len(hypotheses)} decoded captions from {exp_dir} "
+          f"against {args.load_ref}")
 
     result = score(references, hypotheses)
-    print("================================================")
-    with open(os.path.join("checkpoint", args.load_path,
-                           "eval_result.txt"), "w") as f:
-        for k, v in result.items():
-            output = f"{k}: {100 * v:.8f} %"
-            print(output)
-            f.write(output + "\n")
+    report = "\n".join(f"{name}: {100 * value:.8f} %"
+                       for name, value in result.items())
+    print(report)
+    with open(os.path.join(exp_dir, "eval_result.txt"), "w") as f:
+        f.write(report + "\n")
+    return result
 
 
 if __name__ == "__main__":

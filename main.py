@@ -65,6 +65,9 @@ def build_model(args, vocab: Vocab, ans_list):
         att_type=args.att_type,
         conv_layer=args.conv_layer,
         conv_type=args.conv_type,
+        use_spa=bool(getattr(args, "use_spa", 1)),
+        use_imp=bool(getattr(args, "use_imp", 0)),
+        use_sem=bool(getattr(args, "use_sem", 0)),
         use_mtl=args.use_mtl,
         frozen_embedding=frozen,
         use_pallas=getattr(args, "use_pallas", False),
@@ -74,6 +77,7 @@ def build_model(args, vocab: Vocab, ans_list):
 def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
                 is_val=False, shuffle=False):
     graph_path = args.graph_path if args.encoder_type == "relation" else ""
+    feature_dtype = getattr(args, "feature_dtype", "float32")
     ds = set_dataset(
         load_path=args.load_path,
         feature_path=args.feature_path,
@@ -83,10 +87,14 @@ def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
         is_train=is_train,
         is_val=is_val,
         dataset_type=dataset_type,
+        # int8: loader emits quantized img_q/img_scale batches; the model
+        # dequantizes on device (encoder.py _visual_input) — 4x fewer
+        # host->HBM feature bytes than f32
+        feature_mode="int8" if feature_dtype == "int8" else "float32",
     )
     transform = None
-    if getattr(args, "feature_dtype", "float32") != "float32":
-        dtype = np.dtype(args.feature_dtype)
+    if feature_dtype not in ("float32", "int8"):
+        dtype = np.dtype(feature_dtype)
 
         def transform(batch, _dtype=dtype):
             batch["img"] = batch["img"].astype(_dtype)
@@ -99,7 +107,10 @@ def main():
     args = parse_args()
     if args.load_setting:
         args = Argument(os.path.join("checkpoint", args.comment))
-    val_checkpoint = args.select_path == "none"
+    # --val_every N overrides the reference's derived mid-epoch validation
+    # (select_path == 'none' -> samples-modulus quirk; see training/train.py)
+    val_checkpoint = (getattr(args, "val_every", 0)
+                      or (args.select_path == "none"))
 
     logger = Logger(args.comment)
     vocab = Vocab.load(args.vocab_path)

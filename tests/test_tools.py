@@ -195,3 +195,81 @@ def test_beam_scores_match_recomputed_sequence_logp(setup):
             want = logp / (length - 1 + 1e-6)
             np.testing.assert_allclose(scores[b, beam], want, rtol=1e-3,
                                        atol=1e-4)
+
+
+def test_porter_stemmer_golden():
+    """Porter (1980) published examples, original-algorithm semantics."""
+    from vqa_tpu.tools.porter import porter_stem
+    cases = {
+        "caresses": "caress", "ponies": "poni", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "hopping": "hop", "sized": "size",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "digitizer": "digit",
+        "vietnamization": "vietnam", "operator": "oper",
+        "decisiveness": "decis", "triplicate": "triplic",
+        "formative": "form", "electriciti": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "adjustable": "adjust",
+        "replacement": "replac", "adoption": "adopt",
+        "activate": "activ", "effective": "effect", "rate": "rate",
+        "controll": "control", "roll": "roll",
+        "dogs": "dog", "plays": "plai", "played": "plai",
+        "playing": "plai",
+    }
+    for word, want in cases.items():
+        assert porter_stem(word) == want, word
+
+
+def test_meteor_stem_stage_matches_morphological_variants():
+    """Module-2 stem matching (METEOR 1.5) credits inflection variants the
+    exact-only variant misses (VERDICT r1 item 7)."""
+    from vqa_tpu.tools.metrics import meteor
+    refs = {0: ["a dog plays with the red ball"]}
+    hyps = {0: ["the dogs played with a red ball"]}
+    exact = meteor(refs, hyps, use_stem=False)
+    stemmed = meteor(refs, hyps, use_stem=True)
+    assert stemmed > exact, (exact, stemmed)
+    # identical sentences are unaffected by the stem stage
+    same = {0: ["a dog plays with the red ball"]}
+    assert meteor(refs, same, use_stem=True) == \
+        meteor(refs, same, use_stem=False)
+
+
+def test_meteor_stem_vs_exact_ranking_agreement():
+    """The stem stage shifts absolute values but must preserve quality
+    ordering on a graded-corruption corpus (quantified: Kendall tau)."""
+    from vqa_tpu.tools.metrics import meteor
+    ref_sent = "a man riding a wave on top of a surfboard in the ocean"
+    # hypotheses from best to worst
+    graded = [
+        "a man riding a wave on top of a surfboard in the ocean",
+        "a man rides waves on top of his surfboard in the ocean",
+        "a man riding waves in the sea",
+        "a person on a board in water",
+        "two dogs running through a grassy field",
+    ]
+    scores_exact, scores_stem = [], []
+    for hyp in graded:
+        refs = {0: [ref_sent]}
+        hyps = {0: [hyp]}
+        scores_exact.append(meteor(refs, hyps, use_stem=False))
+        scores_stem.append(meteor(refs, hyps, use_stem=True))
+
+    def kendall_tau(a, b):
+        n = len(a)
+        concordant = discordant = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = (a[i] - a[j]) * (b[i] - b[j])
+                concordant += s > 0
+                discordant += s < 0
+        return (concordant - discordant) / (n * (n - 1) / 2)
+
+    tau = kendall_tau(scores_exact, scores_stem)
+    assert tau >= 0.8, (tau, scores_exact, scores_stem)
+    # both variants must rank the graded corpus monotonically
+    assert scores_stem == sorted(scores_stem, reverse=True), scores_stem
+    assert scores_exact == sorted(scores_exact, reverse=True), scores_exact

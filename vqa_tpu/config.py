@@ -90,6 +90,17 @@ def parse_args(argv=None):
     # relation encoder settings
     parser.add_argument("--conv_type", type=str, default="corr")
     parser.add_argument("--conv_layer", type=int, default=1)
+    # Relation-branch toggles: the reference defines use_imp/use_spa/use_sem
+    # on RelationEncoder (encoder.py:202-208) but never exposes them through
+    # the CLI/factory; full ReGAT = spatial + implicit, so the rebuild does
+    # (int 0/1: argparse type=bool is a truthiness trap on strings).
+    parser.add_argument("--use_spa", type=int, default=1,
+                        help="relation encoder: spatial-relation GCN branch")
+    parser.add_argument("--use_imp", type=int, default=0,
+                        help="relation encoder: implicit (fully-connected) branch")
+    parser.add_argument("--use_sem", type=int, default=0,
+                        help="relation encoder: semantic branch (graph via "
+                             "batch['sem_graph'])")
 
     # pre-trained word embedding
     parser.add_argument("--pretrained_embed_path", type=str,
@@ -130,6 +141,9 @@ def parse_args(argv=None):
                              "(bf16 inference fast path)")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
+    parser.add_argument("--val_every", type=int, default=0,
+                        help="validate every N batches mid-epoch (0 keeps the "
+                             "reference's samples-modulus quirk, train.py:121)")
 
     return parser.parse_args(argv)
 

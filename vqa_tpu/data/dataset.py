@@ -43,13 +43,20 @@ class _NpzFeatures:
         self.feature_dir = feature_dir
         self.graph_dir = graph_dir
 
-    def batch(self, img_files: Sequence[str], want_graph: bool):
+    def batch(self, img_files: Sequence[str], want_graph: bool,
+              quantized: bool = False):
         feats, graphs = [], []
         for name in img_files:
             feats.append(np.load(os.path.join(self.feature_dir, name))["x"])
             if want_graph:
                 graphs.append(np.load(os.path.join(self.graph_dir, name))["graph"])
-        out = {"img": np.asarray(np.stack(feats), dtype=np.float32)}
+        stacked = np.asarray(np.stack(feats), dtype=np.float32)
+        if quantized:
+            from vqa_tpu.data.shards import quantize_features
+            q, scales = quantize_features(stacked)
+            out = {"img_q": q, "img_scale": scales}
+        else:
+            out = {"img": stacked}
         if want_graph:
             out["graph"] = np.stack(graphs).astype(np.int32)
         return out
@@ -61,9 +68,14 @@ class _PackedBackend:
     def __init__(self, prefix: str):
         self.packed = PackedFeatures(prefix)
 
-    def batch(self, img_files: Sequence[str], want_graph: bool):
+    def batch(self, img_files: Sequence[str], want_graph: bool,
+              quantized: bool = False):
         rows = np.asarray([self.packed.row(f) for f in img_files])
-        out = {"img": self.packed.gather(rows)}
+        if quantized:
+            q, scales = self.packed.gather_quantized(rows)
+            out = {"img_q": q, "img_scale": scales}
+        else:
+            out = {"img": self.packed.gather(rows)}
         if want_graph:
             out["graph"] = self.packed.gather_graphs(rows).astype(np.int32)
         return out
@@ -84,13 +96,18 @@ class VQADataset:
                  dataset_name: str,
                  ans_dim: int,
                  graph_path: str = "",
-                 caption_id_path: str = ""):
+                 caption_id_path: str = "",
+                 feature_mode: str = "float32"):
         self.questions = _load_json_data(f"{load_path}_questions.json")
         self.answers = _load_json_data(f"{load_path}_answers.json")
         self.ans_dim = ans_dim
         self.use_graph = graph_path != ""
         self.backend = _make_backend(feature_path, graph_path)
         self.dataset_name = dataset_name
+        # 'int8' feeds quantized img_q/img_scale batches for the on-device
+        # dequant path (models/encoder.py _visual_input) — 4x fewer
+        # host->HBM feature bytes than f32
+        self.feature_mode = feature_mode
         # cache question tokens as one dense array (vectorized batching)
         self.q_tokens = np.asarray([q["q"] for q in self.questions], np.int32)
         self.img_files = [q["img_file"] for q in self.questions]
@@ -117,7 +134,8 @@ class VQADataset:
     # -- batched fetch -----------------------------------------------------
     def _vqa_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         files = [self.img_files[i] for i in indices]
-        out = self.backend.batch(files, self.use_graph)
+        out = self.backend.batch(files, self.use_graph,
+                                 quantized=self.feature_mode == "int8")
         out["id"] = np.asarray(indices, np.int32)
         out["q"] = self.q_tokens[np.asarray(indices)]
         out["a"] = self.load_answers(indices)
@@ -134,9 +152,9 @@ class VQAEDataset(VQADataset):
     """VQA-E: one explanation caption per QA pair (dataset.py:110-128)."""
 
     def __init__(self, load_path, feature_path, dataset_name, ans_dim,
-                 graph_path="", caption_id_path=""):
+                 graph_path="", caption_id_path="", feature_mode="float32"):
         super().__init__(load_path, feature_path, dataset_name, ans_dim,
-                         graph_path)
+                         graph_path, feature_mode=feature_mode)
         caps = _load_json_data(f"{load_path}_captions.json")
         self.c_tokens = np.asarray([c["c"] for c in caps], np.int32)
         self.cap_lens = np.asarray([c["cap_len"] for c in caps], np.int32)
@@ -157,9 +175,9 @@ class VQACaptionAllDataset(VQADataset):
     """
 
     def __init__(self, load_path, feature_path, dataset_name, ans_dim,
-                 graph_path="", caption_id_path=""):
+                 graph_path="", caption_id_path="", feature_mode="float32"):
         super().__init__(load_path, feature_path, dataset_name, ans_dim,
-                         graph_path)
+                         graph_path, feature_mode=feature_mode)
         with open(f"{load_path}_all_captions.json") as f:
             self.captions = json.load(f)
         self.img_ids = [str(int(f[-16:-4])) for f in self.img_files]
@@ -200,9 +218,9 @@ class VQACaptionDataset(VQACaptionAllDataset):
     """One selected caption per QA pair via pickle index (dataset.py:167-199)."""
 
     def __init__(self, load_path, feature_path, dataset_name, ans_dim,
-                 graph_path="", caption_id_path=""):
+                 graph_path="", caption_id_path="", feature_mode="float32"):
         super().__init__(load_path, feature_path, dataset_name, ans_dim,
-                         graph_path)
+                         graph_path, feature_mode=feature_mode)
         with open(caption_id_path, "rb") as f:
             self.caption_id = pickle.load(f)
 
@@ -224,7 +242,8 @@ def set_dataset(load_path: str,
                 graph_path: str = "",
                 is_train: bool = False,
                 is_val: bool = False,
-                dataset_type: str = "select"):
+                dataset_type: str = "select",
+                feature_mode: str = "float32"):
     """Factory mirroring the reference CLI surface (dataset.py:15-47)."""
     if is_train:
         dataset_name = "train2014"
@@ -243,4 +262,5 @@ def set_dataset(load_path: str,
     }[dataset_type]
     return cls(load_path=load_path, feature_path=feature_path,
                dataset_name=dataset_name, ans_dim=ans_dim,
-               graph_path=graph_path, caption_id_path=caption_id_path)
+               graph_path=graph_path, caption_id_path=caption_id_path,
+               feature_mode=feature_mode)

@@ -27,6 +27,16 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 
+def quantize_features(x: np.ndarray):
+    """Symmetric per-box int8 quantization: [N, num_objs, v_dim] float ->
+    (int8 payload, [N, num_objs] float32 scales). The inverse is the
+    device-side ``img_q * img_scale`` dequant in models/encoder.py."""
+    x = np.asarray(x, np.float32)
+    scales = np.maximum(np.abs(x).max(axis=-1) / 127.0, 1e-8)
+    q = np.clip(np.rint(x / scales[..., None]), -127, 127).astype(np.int8)
+    return q, scales.astype(np.float32)
+
+
 class PackedFeatures:
     """Memory-mapped packed feature store with O(1) per-image row lookup."""
 
@@ -62,12 +72,19 @@ class PackedFeatures:
         return out if out.dtype == dtype else out.astype(dtype)
 
     def gather_quantized(self, rows: np.ndarray):
-        """int8 payload + per-box scales (device-side dequant path)."""
-        assert self.features.dtype == np.int8 and self.scales is not None
+        """int8 payload + per-box scales (device-side dequant path).
+
+        int8-packed stores gather the stored payload directly; f16/f32
+        stores quantize the gathered batch on the host (still saves 2-4x
+        host->HBM bytes — the win the --feature_dtype int8 feed buys)."""
         from vqa_tpu import native
         rows = np.asarray(rows)
-        q = native.gather_rows(self.features, rows, widen_f16=False)
-        return q, np.asarray(self.scales[rows])
+        if self.features.dtype == np.int8:
+            assert self.scales is not None, "int8 store missing scales"
+            q = native.gather_rows(self.features, rows, widen_f16=False)
+            return q, np.asarray(self.scales[rows], np.float32)
+        out = native.gather_rows(self.features, rows, widen_f16=True)
+        return quantize_features(out)
 
     def gather_graphs(self, rows: np.ndarray) -> np.ndarray:
         assert self.graphs is not None, "no packed graphs at this prefix"
@@ -108,12 +125,7 @@ def pack_feature_dir(feature_dir: str, out_prefix: str,
     for i, name in enumerate(names):
         z = np.load(os.path.join(feature_dir, name))
         if quantize:
-            x = z["x"].astype(np.float32)
-            s = np.abs(x).max(axis=1) / 127.0          # per-box symmetric
-            s = np.maximum(s, 1e-8)
-            feats[i] = np.clip(np.rint(x / s[:, None]), -127, 127
-                               ).astype(np.int8)
-            scales[i] = s
+            feats[i], scales[i] = quantize_features(z["x"])
         else:
             feats[i] = z["x"].astype(feature_dtype)
         if bbox is not None:

@@ -71,6 +71,9 @@ class BaseEncoder(nn.Module):
     dropout: float = 0.5
     rnn_type: str = "GRU"
     att_type: str = "base"
+    # MultiplyAttention's joint-dropout rate; the reference hardcodes the
+    # default 0.2 (attention.py:61,65) independently of --dropout.
+    att_dropout: float = 0.2
     frozen_embedding: Optional[np.ndarray] = None
     use_pallas: bool = False   # fused Pallas question-GRU (opt-in fast path)
 
@@ -78,12 +81,17 @@ class BaseEncoder(nn.Module):
         self.embedding = WordEmbedding(self.ntoken, self.embed_dim,
                                        frozen_table=self.frozen_embedding,
                                        name="embedding")
+        # torch applies RNN dropout only *between* stacked layers, so the
+        # reference's SentenceEmbedding(..., dropout=args.dropout)
+        # (encoder.py:129-136) is active exactly when rnn_layer > 1.
         self.q_rnn = SentenceEmbedding(self.hidden_dim, rnn_layer=self.rnn_layer,
-                                       dropout=0.0, rnn_type=self.rnn_type,
+                                       dropout=self.dropout, rnn_type=self.rnn_type,
                                        use_pallas=self.use_pallas,
                                        name="q_rnn")
-        self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
-                                                name="attention")
+        att_kwargs = {"hidden_dim": self.hidden_dim, "name": "attention"}
+        if self.att_type == "new":
+            att_kwargs["dropout"] = self.att_dropout
+        self.attention = set_att(self.att_type)(**att_kwargs)
         self.q_net = FCNet(self.hidden_dim, name="q_net")
 
     def embed(self, tokens: jax.Array) -> jax.Array:
@@ -161,14 +169,14 @@ class RelationEncoder(BaseEncoder):
                  deterministic: bool = True):
         out = self.base_forward(batch, deterministic=deterministic)
         v = out["v"]
-        batch_size = v.shape[0]
+        batch_size, num_objs = v.shape[0], v.shape[1]
         output_v = jnp.zeros_like(v)
         g_att = []
         if self.use_imp:
             # Fully-connected graph: ones - eye (encoder.py:232-234).
-            imp = (jnp.ones((self.num_objs, self.num_objs), jnp.int32)
-                   - jnp.eye(self.num_objs, dtype=jnp.int32))
-            imp = jnp.broadcast_to(imp[None], (batch_size, self.num_objs, self.num_objs))
+            imp = (jnp.ones((num_objs, num_objs), jnp.int32)
+                   - jnp.eye(num_objs, dtype=jnp.int32))
+            imp = jnp.broadcast_to(imp[None], (batch_size, num_objs, num_objs))
             new_v = self.implicit_encoder(v, imp, graph_alpha,
                                           deterministic=deterministic)
             if graph_alpha:
@@ -203,8 +211,12 @@ def set_encoder(encoder_type: str,
                 rnn_type: str = "GRU",
                 rnn_layer: int = 1,
                 att_type: str = "base",
+                att_dropout: float = 0.2,
                 conv_type: str = "corr",
                 conv_layer: int = 1,
+                use_spa: bool = True,
+                use_imp: bool = False,
+                use_sem: bool = False,
                 frozen_embedding: Optional[np.ndarray] = None,
                 use_pallas: bool = False) -> nn.Module:
     """String-keyed encoder factory mirroring encoder.py:10-58.
@@ -218,12 +230,16 @@ def set_encoder(encoder_type: str,
     if encoder_type == "base":
         return BaseEncoder(hidden_dim=hidden_dim, dropout=dropout,
                            rnn_type=rnn_type, rnn_layer=rnn_layer,
-                           att_type=att_type, use_pallas=use_pallas, **common)
+                           att_type=att_type, att_dropout=att_dropout,
+                           use_pallas=use_pallas, **common)
     if encoder_type == "relation":
         return RelationEncoder(hidden_dim=hidden_dim, dropout=dropout,
                                rnn_type=rnn_type, rnn_layer=rnn_layer,
-                               att_type=att_type, conv_type=conv_type,
+                               att_type=att_type, att_dropout=att_dropout,
+                               conv_type=conv_type,
                                conv_layer=conv_layer, v_dim=v_dim,
+                               use_spa=bool(use_spa), use_imp=bool(use_imp),
+                               use_sem=bool(use_sem),
                                use_pallas=use_pallas, **common)
     if encoder_type == "cap":
         return CaptionEncoder(**common)

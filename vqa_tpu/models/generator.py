@@ -68,7 +68,14 @@ class DecoderBase(nn.Module):
     dropout: float = 0.5
     rnn_type: str = "GRU"
     att_type: str = "base"
+    att_dropout: float = 0.2   # MultiplyAttention default (attention.py:61)
     h_num: int = 1
+
+    def _make_attention(self):
+        kwargs = {"hidden_dim": self.hidden_dim, "name": "attention"}
+        if self.att_type == "new":
+            kwargs["dropout"] = self.att_dropout
+        return set_att(self.att_type)(**kwargs)
 
     def init_hidden(self, batch_size: int, dtype=jnp.float32) -> List:
         """Zero states; LSTM carries (h, c) pairs (generator.py:45-49)."""
@@ -120,8 +127,7 @@ class BaseDecoder(DecoderBase):
 
     def setup(self):
         self.rnn = RNNCellBase(self.hidden_dim, self.rnn_type, name="rnn")
-        self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
-                                                name="attention")
+        self.attention = self._make_attention()
         self.fcnet = _Dense(self.ntoken, w_init=_uniform_pm(0.1),
                             b_init=nn.initializers.zeros, name="fcnet")
         self.drop = nn.Dropout(self.dropout)
@@ -149,8 +155,7 @@ class BUTDDecoder(DecoderBase):
                                     name="word_rnn")
         self.language_rnn = RNNCellBase(self.hidden_dim, self.rnn_type,
                                         name="language_rnn")
-        self.attention = set_att(self.att_type)(hidden_dim=self.hidden_dim,
-                                                name="attention")
+        self.attention = self._make_attention()
         self.h1_fcnet = _Dense(self.hidden_dim, name="h1_fcnet")
         self.h2_fcnet = _Dense(self.ntoken, name="h2_fcnet")
         self.drop = nn.Dropout(self.dropout)
@@ -177,10 +182,12 @@ def set_decoder(decoder_type: str,
                 max_len: int,
                 dropout: float = 0.5,
                 rnn_type: str = "GRU",
-                att_type: str = "base"):
+                att_type: str = "base",
+                att_dropout: float = 0.2):
     """String-keyed decoder factory mirroring generator.py:12-37."""
     if decoder_type == "none":
         return None
     cls = {"base": BaseDecoder, "butd": BUTDDecoder}[decoder_type]
     return cls(ntoken=ntoken, hidden_dim=hidden_dim, max_len=max_len,
-               dropout=dropout, rnn_type=rnn_type, att_type=att_type)
+               dropout=dropout, rnn_type=rnn_type, att_type=att_type,
+               att_dropout=att_dropout)

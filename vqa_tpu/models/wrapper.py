@@ -162,8 +162,12 @@ def set_model(encoder_type: str = "base",
               neg_slope: float = 0.01,
               rnn_type: str = "GRU",
               att_type: str = "base",
+              att_dropout: float = 0.2,
               conv_layer: int = 2,
               conv_type: str = "corr",
+              use_spa: bool = True,
+              use_imp: bool = False,
+              use_sem: bool = False,
               use_mtl: bool = False,
               frozen_embedding: Optional[np.ndarray] = None,
               use_pallas: bool = False) -> VQAModel:
@@ -177,7 +181,8 @@ def set_model(encoder_type: str = "base",
         encoder_type=encoder_type, ntoken=ntoken, v_dim=v_dim,
         embed_dim=embed_dim, hidden_dim=hidden_dim, dropout=dropout,
         rnn_type=rnn_type, rnn_layer=rnn_layer, att_type=att_type,
-        conv_type=conv_type, conv_layer=conv_layer,
+        att_dropout=att_dropout, conv_type=conv_type, conv_layer=conv_layer,
+        use_spa=use_spa, use_imp=use_imp, use_sem=use_sem,
         frozen_embedding=frozen_embedding, use_pallas=use_pallas,
     )
     predictor = set_predictor(
@@ -187,7 +192,7 @@ def set_model(encoder_type: str = "base",
     generator = set_decoder(
         decoder_type=decoder_type, ntoken=ntoken,
         hidden_dim=decoder_hidden_dim, max_len=c_len, dropout=dropout,
-        rnn_type=rnn_type, att_type=att_type,
+        rnn_type=rnn_type, att_type=att_type, att_dropout=att_dropout,
     )
     return VQAModel(encoder=encoder, predictor=predictor, generator=generator,
                     use_mtl=use_mtl)

@@ -11,11 +11,13 @@ available in this environment:
 - **CIDEr** — tf-idf n-gram cosine with reference-corpus document
   frequencies, Gaussian length penalty sigma=6, x10 (pycocoevalcap
   cider_scorer.py semantics).
-- **METEOR** — exact-match variant (unigram alignment, alpha=0.9 harmonic
-  mean, chunk fragmentation penalty gamma=0.5, beta=3). The reference wraps
-  the Java METEOR 1.5 jar with WordNet synonym/stem modules; without Java or
-  WordNet this is the documented approximation (scores are comparable in
-  ranking, not absolute value).
+- **METEOR** — staged exact + Porter-stem alignment (METEOR 1.5 modules 1-2
+  with the English stem-module weight 0.6; alpha=0.9 harmonic mean, chunk
+  fragmentation penalty gamma=0.5, beta=3). The reference wraps the Java
+  METEOR 1.5 jar; its synonym/paraphrase modules need WordNet/paraphrase
+  tables and remain the documented gap — the exact-only variant is kept as
+  ``meteor(..., use_stem=False)`` and the ranking agreement between the two
+  is pinned in tests/test_tools.py.
 
 API mirrors cap_eval.score: ``score(refs, hyps) -> {metric: value}`` where
 refs/hyps map id -> [sentence, ...].
@@ -146,24 +148,54 @@ def cider(refs: Dict, hyps: Dict, n: int = 4, sigma: float = 6.0) -> float:
 
 # ----------------------------------------------------------------- METEOR
 
+def _align_stage(hyp: List[str], ref: List[str], hyp_used, ref_used,
+                 key) -> List[Tuple[int, int]]:
+    """Greedy left-to-right matching of unused words under key()."""
+    ref_keys = [key(w) for w in ref]
+    pairs = []
+    for i, w in enumerate(hyp):
+        if hyp_used[i]:
+            continue
+        kw = key(w)
+        for j in range(len(ref)):
+            if not ref_used[j] and kw == ref_keys[j]:
+                hyp_used[i] = True
+                ref_used[j] = True
+                pairs.append((i, j))
+                break
+    return pairs
+
+
 def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
-                   gamma=0.5) -> float:
+                   gamma=0.5, use_stem: bool = True,
+                   stem_weight: float = 0.6) -> float:
+    """METEOR for one hypothesis/reference pair.
+
+    Staged alignment per METEOR 1.5: module 1 exact matches, then module 2
+    Porter-stem matches over the leftovers (module weight 0.6, the METEOR
+    1.5 English default). The jar's synonym/paraphrase modules need
+    WordNet/a paraphrase table and remain the documented gap; the alignment
+    here is greedy left-to-right rather than beam-searched (both documented
+    approximations, quantified in tests/test_tools.py ranking-agreement).
+    """
     if not hyp or not ref:
         return 0.0
-    # greedy left-to-right exact alignment
+    hyp_used = [False] * len(hyp)
     ref_used = [False] * len(ref)
-    align: List[Tuple[int, int]] = []
-    for i, w in enumerate(hyp):
-        for j, rw in enumerate(ref):
-            if not ref_used[j] and w == rw:
-                ref_used[j] = True
-                align.append((i, j))
-                break
+    exact = _align_stage(hyp, ref, hyp_used, ref_used, lambda w: w)
+    stem: List[Tuple[int, int]] = []
+    if use_stem:
+        from vqa_tpu.tools.porter import porter_stem
+        stem = _align_stage(hyp, ref, hyp_used, ref_used, porter_stem)
+    align = sorted(exact + stem)
     m = len(align)
     if m == 0:
         return 0.0
-    p = m / len(hyp)
-    r = m / len(ref)
+    # module-weighted match mass for precision/recall (METEOR 1.5 weights:
+    # exact 1.0, stem 0.6); the chunk penalty counts matches unweighted.
+    m_w = len(exact) + stem_weight * len(stem)
+    p = m_w / len(hyp)
+    r = m_w / len(ref)
     fmean = p * r / (alpha * p + (1 - alpha) * r)
     # chunk count: contiguous in both hyp and ref order
     chunks = 1
@@ -174,11 +206,12 @@ def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
     return fmean * (1 - penalty)
 
 
-def meteor(refs: Dict, hyps: Dict) -> float:
+def meteor(refs: Dict, hyps: Dict, use_stem: bool = True) -> float:
     scores = []
     for key in hyps:
         hyp = hyps[key][0].split()
-        scores.append(max(_meteor_single(hyp, r.split()) for r in refs[key]))
+        scores.append(max(_meteor_single(hyp, r.split(), use_stem=use_stem)
+                          for r in refs[key]))
     return sum(scores) / max(len(scores), 1)
 
 

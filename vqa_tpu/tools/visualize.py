@@ -35,38 +35,55 @@ def sample_one_batch(dataset, sample: int = 0) -> dict:
     return {**batch, "_meta": meta}
 
 
+# dimming levels: everything outside the top-k fades to BACKDROP_ALPHA;
+# top-k boxes other than the argmax fade to RUNNERUP_ALPHA
+BACKDROP_ALPHA = 30
+RUNNERUP_ALPHA = 128
+TOP_COLOR = "red"          # argmax box
+OTHER_COLOR = "lightcoral"  # remaining top-k boxes
+
+
+def _label_box(draw, xy, text, color, font):
+    """Rectangle outline + a filled score tag in its top-left corner."""
+    x0, y0, x1, y1 = xy
+    draw.rectangle([(x0, y0), (x1, y1)], outline=color, width=2)
+    l, t, r, b = draw.textbbox((0, 0), text, font=font)
+    draw.rectangle([(x0, y0), (x0 + (r - l) + 1, y0 + (b - t) + 1)], fill=color)
+    draw.text([x0, y0], text)
+
+
 def show_att(att: np.ndarray, img, bbox: np.ndarray, k: int = 3,
              output=None):
-    """Overlay the k most-attended boxes (visualize.py:27-59)."""
+    """Render an attention map over the image's boxes.
+
+    The whole image is dimmed, the k highest-attention boxes are pasted back
+    (argmax fully opaque, the rest half-faded) and outlined with their
+    attention scores. Same artifact as the reference tool
+    (`/root/reference/tools/visualize.py:27-59`), reimplemented on numpy
+    ranking + PIL compositing.
+    """
     assert HAS_PIL, "PIL required for visualization"
     att = np.asarray(att).reshape(-1)
-    index = np.argsort(-att)[:k]
-    value = att[index]
+    # top-k box indices, strongest first
+    ranked = np.argsort(-att)[:k]
 
     if output is None:
         output = img.copy()
-        output.putalpha(30)
+        output.putalpha(BACKDROP_ALPHA)
 
-    for i in range(1, 1 + k):
-        b = bbox[index[-i]]
-        region = img.crop([b[0], b[1], b[2], b[3]])
-        if value[-i] < value.max():
-            region.putalpha(128)
-        output.paste(region, (int(b[0]), int(b[1])))
+    # paste weakest -> strongest so stronger boxes win overlaps
+    for box_id in reversed(ranked):
+        x0, y0, x1, y1 = bbox[box_id][:4]
+        region = img.crop([x0, y0, x1, y1])
+        if att[box_id] < att[ranked[0]]:
+            region.putalpha(RUNNERUP_ALPHA)
+        output.paste(region, (int(x0), int(y0)))
 
     draw = ImageDraw.Draw(output)
     font = ImageFont.load_default()
-    color = "red"
-    for i in range(k):
-        b = bbox[index[i]]
-        draw.rectangle([(b[0], b[1]), (b[2], b[3])], fill=None, outline=color,
-                       width=2)
-        text = f"{value[i]:.2f}"
-        tbox = draw.textbbox((0, 0), text, font=font)
-        w, h = tbox[2] - tbox[0], tbox[3] - tbox[1]
-        draw.rectangle([(b[0], b[1]), (b[0] + w + 1, b[1] + h + 1)], fill=color)
-        draw.text([b[0], b[1]], text)
-        color = "lightcoral"
+    for rank, box_id in enumerate(ranked):
+        color = TOP_COLOR if rank == 0 else OTHER_COLOR
+        _label_box(draw, bbox[box_id][:4], f"{att[box_id]:.2f}", color, font)
     return output
 
 

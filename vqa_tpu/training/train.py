@@ -86,7 +86,14 @@ def evaluate(eval_step,
         output = {}
         for ans in ans_index:
             idx = np.asarray(ans_index[ans])
-            idx = idx[idx < len(all_score)]
+            # A mismatched index file is a data bug — fail loudly instead of
+            # silently dropping rows (the reference crashes here too,
+            # train.py:211-220).
+            if idx.size and idx.max() >= len(all_score):
+                raise ValueError(
+                    f"answer-type index '{ans}' refers to sample "
+                    f"{int(idx.max())} but only {len(all_score)} evaluated "
+                    "samples exist — index file does not match the val split")
             output["hparam/" + ans] = float(all_score[idx].sum() / max(len(idx), 1))
         if logger:
             for k in output:
@@ -114,7 +121,7 @@ def train(model: VQAModel,
           gamma: float = 0.5,
           lr_vqa: float = 0.0,
           lr_cap: float = 0.0,
-          val_checkpoint: bool = False,
+          val_checkpoint: int = 0,
           seed: int = 1111,
           mesh=None,
           ans_index: Optional[Dict] = None,
@@ -219,8 +226,14 @@ def train(model: VQAModel,
                 logger.write(f"[Batch {i}] loss: "
                              f"{(avg_loss - prev_loss) / checkpoint:.4f} ({t})")
                 prev_loss = avg_loss
-            if val_checkpoint and i != 0 and \
-                    i % train_loader.num_samples == 0:
+            # val_checkpoint interval semantics: 1/True replicates the
+            # reference's batches-vs-samples modulus quirk (train.py:121 —
+            # i % len(dataset.questions), a no-op whenever the epoch has
+            # fewer batches than samples); any value > 1 is an explicit
+            # validate-every-N-batches interval.
+            val_every = (train_loader.num_samples if val_checkpoint in (1, True)
+                         else int(val_checkpoint))
+            if val_every and i != 0 and i % val_every == 0:
                 best_score, best_epoch = val(avg_loss / steps_per_epoch,
                                              best_score, best_epoch, epoch,
                                              start)
