@@ -5,12 +5,19 @@ Prints ONE JSON line:
 
 The headline BASELINE.json target is >= 5x the reference PyTorch GPU
 questions/sec for batch inference. The reference publishes no speed numbers
-(SURVEY.md section 6), so the baseline is an estimate pinned here once and
-documented: the reference model (GRU question encoder + 36-box fusion
-attention + 2-layer classifier, ~0.25 GFLOP/question end-to-end) on the
-2019-class single GPU implied by the repo, run with its eager PyTorch eval
-loop (batch 128, host npz dataloading), sustains ~2,500 questions/s.
-REF_GPU_QPS below encodes that; vs_baseline = value / (5 * REF_GPU_QPS), so
+(SURVEY.md section 6), so the baseline is anchored to a measurement taken on
+this host (2026-08-16, torch 2.x CPU): the reference model (GRU question
+encoder + 36-box fusion attention + 2-layer classifier, ~0.25
+GFLOP/question) run through its eager eval loop shape (batch 128 forward,
+`/root/reference/train.py:162-222`) sustains **165 questions/s on one CPU
+core** (773 ms/batch-128, single-threaded — this container exposes 1 core).
+The 2019-class single GPU implied by the repo runs the same eager loop
+~15-40x faster than one CPU core for this GEMM mix; the upstream
+bottom-up-attention-vqa codebase this reference derives from reports epoch
+times equivalent to ~2.2k q/s *training* on a Titan Xp, putting eager eval
+at roughly 2x that. REF_GPU_QPS = 165 x 30 = ~5,000 q/s encodes the
+measured floor x documented factor (2x the round-1 guess of 2,500 —
+deliberately the stricter bar). vs_baseline = value / (5 * REF_GPU_QPS), so
 vs_baseline >= 1.0 means the 5x target is met.
 
 Two configurations (see PERF.md):
@@ -44,7 +51,8 @@ import time
 
 import numpy as np
 
-REF_GPU_QPS = 2500.0          # documented estimate, see module docstring
+REF_GPU_QPS = 5000.0   # measured CPU floor x documented GPU factor, see docstring
+REF_CPU_QPS = 165.0    # measured: eager eval loop, 1 CPU core, this host
 TARGET_MULTIPLIER = 5.0
 
 BATCH_SIZE = 16384

@@ -248,3 +248,34 @@ def test_set_model_relation_flags_plumb_through(rng):
     assert "semantic_encoder" not in enc
     predict, _ = model.apply(params, batch)
     assert predict.shape == (B, ANS)
+
+
+@pytest.mark.parametrize("decoder_type", ["base", "butd"])
+def test_scan_teacher_forcing_matches_unrolled(rng, decoder_type):
+    """nn.scan teacher forcing == the Python-unrolled loop, bit for bit
+    (deterministic mode); the scan traces the decode step once, so jit
+    compile time is O(1) in c_len instead of O(c_len)."""
+    from vqa_tpu.models.generator import set_decoder
+
+    batch = {
+        "v": jnp.asarray(rng.standard_normal((B, OBJS, V_DIM)).astype(np.float32)),
+        "c": jnp.asarray(rng.standard_normal((B, C_LEN, EMBED)).astype(np.float32)),
+        "cap_len": jnp.asarray(rng.integers(2, C_LEN + 1, (B,))),
+        "c_target": jnp.asarray(rng.integers(0, NTOKEN, (B, C_LEN))),
+    }
+    kw = dict(ntoken=NTOKEN, hidden_dim=DEC_HIDDEN, max_len=C_LEN,
+              dropout=0.3, rnn_type="GRU", att_type="base")
+    scan_dec = set_decoder(decoder_type, **kw)
+    unrolled = scan_dec.clone(use_scan=False)
+    params = scan_dec.init(jax.random.key(0), batch)
+    out_scan = scan_dec.apply(params, batch, deterministic=True)
+    out_unrl = unrolled.apply(params, batch, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_scan["mask"]),
+                                  np.asarray(out_unrl["mask"]))
+    np.testing.assert_allclose(np.asarray(out_scan["predict"]),
+                               np.asarray(out_unrl["predict"]),
+                               rtol=1e-6, atol=1e-6)
+    # both param layouts must be identical (checkpoints interchange)
+    s1 = jax.tree_util.tree_structure(params)
+    s2 = jax.tree_util.tree_structure(unrolled.init(jax.random.key(0), batch))
+    assert s1 == s2

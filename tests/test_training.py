@@ -241,3 +241,25 @@ def test_orbax_checkpoint_roundtrip(root, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         state.params, restored["state"].params)
+
+
+def test_profiler_trace_capture(root, tmp_path):
+    """--profile_dir path: train() captures a jax.profiler trace of steps
+    [profile_steps) and writes an XPlane/Perfetto artifact (VERDICT r1
+    item 10 — the hook previously had no test)."""
+    model = _model(root)
+    train_loader, val_loader = _loaders(root)
+    logger = Logger("t_prof", root=str(tmp_path))
+    profile_dir = os.path.join(str(tmp_path), "trace")
+    train(model=model, lr=2e-3, train_loader=train_loader,
+          val_loader=val_loader, logger=logger, save_path=logger.save_path,
+          num_epoches=1, checkpoint=0, seed=0,
+          profile_dir=profile_dir, profile_steps=(1, 3))
+    artifacts = []
+    for dirpath, _dirnames, filenames in os.walk(profile_dir):
+        artifacts.extend(os.path.join(dirpath, f) for f in filenames)
+    assert any(f.endswith(".xplane.pb") or ".trace" in os.path.basename(f)
+               for f in artifacts), artifacts
+    # the trace must contain real events (not an empty capture)
+    xplanes = [f for f in artifacts if f.endswith(".xplane.pb")]
+    assert xplanes and os.path.getsize(xplanes[0]) > 1000, xplanes

@@ -70,6 +70,11 @@ class DecoderBase(nn.Module):
     att_type: str = "base"
     att_dropout: float = 0.2   # MultiplyAttention default (attention.py:61)
     h_num: int = 1
+    # True: teacher forcing as one nn.scan step traced once (compile time
+    # O(1) in c_len); False: Python-unrolled steps (the round-1 layout,
+    # kept as the parity reference — identical outputs, see
+    # tests/test_models.py::test_scan_teacher_forcing_matches_unrolled)
+    use_scan: bool = True
 
     def _make_attention(self):
         kwargs = {"hidden_dim": self.hidden_dim, "name": "attention"}
@@ -105,12 +110,27 @@ class DecoderBase(nn.Module):
         steps = self.max_len - 1  # we don't decode at the <end> position
 
         h = self.init_hidden(batch_size, v.dtype)
-        outputs = []
-        for t in range(steps):
-            h, word, _ = self.decode(v=v, v_mean=v_mean, prev=caption[:, t, :],
-                                     h=h, deterministic=deterministic)
-            outputs.append(word)
-        predict = jnp.stack(outputs, axis=1)          # [B, steps, ntoken]
+        if self.use_scan:
+            # One traced decode step scanned over time: params broadcast,
+            # per-step dropout keys split (matching the unrolled loop's
+            # independent per-step dropout).
+            def body(mdl, carry, prev):
+                carry, word, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev,
+                                            h=carry,
+                                            deterministic=deterministic)
+                return carry, word
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=1, out_axes=1)
+            _, predict = scan(self, h, caption[:, :steps, :])
+        else:
+            outputs = []
+            for t in range(steps):
+                h, word, _ = self.decode(v=v, v_mean=v_mean,
+                                         prev=caption[:, t, :],
+                                         h=h, deterministic=deterministic)
+                outputs.append(word)
+            predict = jnp.stack(outputs, axis=1)      # [B, steps, ntoken]
         # Step t is valid iff t < cap_len - 1 (generator.py:93,100).
         mask = (jnp.arange(steps)[None, :] < (cap_len[:, None] - 1))
         return {
