@@ -77,15 +77,17 @@ def test_beam_k1_matches_greedy(setup):
     cur = jnp.full((B,), vocab.start, jnp.int32)
     got = [np.asarray(cur)]
     done = np.zeros(B, bool)
-    # accumulate scores exactly like the beam (logp + log_softmax) so float
-    # tie-breaking matches
+    # accumulate scores exactly like the beam (top_k of raw logits, then
+    # shift by logsumexp — argmax-equivalent, see beam.py candidate shrink)
+    # so float tie-breaking matches
     logp = np.zeros((B,), np.float32)
     for t in range(C_LEN - 1):
         h, logits, _ = model.apply({"params": params}, v, v_mean, cur, h,
                                    method=fn)
-        cand = logp[:, None] + np.asarray(jax.nn.log_softmax(logits, axis=-1))
-        step = cand.argmax(1).astype(np.int32)
-        logp = cand[np.arange(B), step]
+        top_val, top_idx = jax.lax.top_k(logits, 1)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        step = np.asarray(top_idx)[:, 0].astype(np.int32)
+        logp = logp + np.asarray(top_val)[:, 0] - np.asarray(lse)
         step[done] = vocab.end  # finished beams stay at <end>
         got.append(step.copy())
         done |= step == vocab.end

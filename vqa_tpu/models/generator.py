@@ -89,8 +89,16 @@ class DecoderBase(nn.Module):
             return [(init, init)] * self.h_num
         return [init] * self.h_num
 
-    def decode(self, v, v_mean, prev, h, *, deterministic: bool = True):
+    def decode(self, v, v_mean, prev, h, *, att_cache=None,
+               deterministic: bool = True):
         raise NotImplementedError
+
+    def project_v(self, v):
+        """Loop-invariant attention v-projection; compute once per batch and
+        pass to every ``decode`` as ``att_cache`` (the reference recomputes
+        it per step, generator.py:177-190 — on TPU that is ~20x the FLOPs
+        of the rest of the step)."""
+        return self.attention.project_v(v, q_dim=self.hidden_dim)
 
     def __call__(self, batch: Dict[str, Any], *, deterministic: bool = True
                  ) -> Dict[str, jax.Array]:
@@ -110,13 +118,14 @@ class DecoderBase(nn.Module):
         steps = self.max_len - 1  # we don't decode at the <end> position
 
         h = self.init_hidden(batch_size, v.dtype)
+        att_cache = self.project_v(v)   # hoisted out of the time loop
         if self.use_scan:
             # One traced decode step scanned over time: params broadcast,
             # per-step dropout keys split (matching the unrolled loop's
             # independent per-step dropout).
             def body(mdl, carry, prev):
                 carry, word, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev,
-                                            h=carry,
+                                            h=carry, att_cache=att_cache,
                                             deterministic=deterministic)
                 return carry, word
             scan = nn.scan(body, variable_broadcast="params",
@@ -128,7 +137,8 @@ class DecoderBase(nn.Module):
             for t in range(steps):
                 h, word, _ = self.decode(v=v, v_mean=v_mean,
                                          prev=caption[:, t, :],
-                                         h=h, deterministic=deterministic)
+                                         h=h, att_cache=att_cache,
+                                         deterministic=deterministic)
                 outputs.append(word)
             predict = jnp.stack(outputs, axis=1)      # [B, steps, ntoken]
         # Step t is valid iff t < cap_len - 1 (generator.py:93,100).
@@ -152,13 +162,29 @@ class BaseDecoder(DecoderBase):
                             b_init=nn.initializers.zeros, name="fcnet")
         self.drop = nn.Dropout(self.dropout)
 
-    def decode(self, v, v_mean, prev, h, *, deterministic: bool = True):
+    def decode(self, v, v_mean, prev, h, *, att_cache=None, beam: int = 1,
+               deterministic: bool = True):
         """One step: attend with h, feed [prev; att_v] to the cell
-        (generator.py:177-190)."""
+        (generator.py:177-190).
+
+        ``beam > 1``: v/att_cache are per-image [B, ...] while prev/h are
+        flat [B*beam, ...] — the attention reads each image's boxes once
+        for all its beams.
+        """
         state = h[0]
         h0 = state[0] if self.rnn_type == "LSTM" else state
-        att = self.attention(v, h0, deterministic=deterministic)
-        att_v = jnp.sum(att * v, axis=1)
+        if beam > 1:
+            B = v.shape[0]
+            att = self.attention(v, h0.reshape(B, beam, -1),
+                                 deterministic=deterministic,
+                                 v_cache=att_cache)       # [B, beam, n, 1]
+            att_v = jnp.einsum("bkn,bnd->bkd", att[..., 0], v)
+            att_v = att_v.reshape(B * beam, -1)
+            att = att.reshape(B * beam, -1, 1)
+        else:
+            att = self.attention(v, h0, deterministic=deterministic,
+                                 v_cache=att_cache)
+            att_v = jnp.sum(att * v, axis=1)
         state = self.rnn(state, jnp.concatenate([prev, att_v], axis=1))
         h0 = state[0] if self.rnn_type == "LSTM" else state
         output = self.fcnet(self.drop(h0, deterministic=deterministic))
@@ -180,16 +206,27 @@ class BUTDDecoder(DecoderBase):
         self.h2_fcnet = _Dense(self.ntoken, name="h2_fcnet")
         self.drop = nn.Dropout(self.dropout)
 
-    def decode(self, v, v_mean, prev, h, *, deterministic: bool = True):
+    def decode(self, v, v_mean, prev, h, *, att_cache=None, beam: int = 1,
+               deterministic: bool = True):
         """word RNN -> h1 FC -> attention -> language RNN -> vocab logits
-        (generator.py:249-267)."""
+        (generator.py:249-267). ``beam``: see BaseDecoder.decode."""
         h1, h2 = h
         h2_out = h2[0] if self.rnn_type == "LSTM" else h2
         h1 = self.word_rnn(h1, jnp.concatenate([h2_out, v_mean, prev], axis=1))
         h1_out = h1[0] if self.rnn_type == "LSTM" else h1
         hq = self.h1_fcnet(self.drop(h1_out, deterministic=deterministic))
-        att = self.attention(v, hq, deterministic=deterministic)
-        att_v = jnp.sum(att * v, axis=1)
+        if beam > 1:
+            B = v.shape[0]
+            att = self.attention(v, hq.reshape(B, beam, -1),
+                                 deterministic=deterministic,
+                                 v_cache=att_cache)       # [B, beam, n, 1]
+            att_v = jnp.einsum("bkn,bnd->bkd", att[..., 0], v)
+            att_v = att_v.reshape(B * beam, -1)
+            att = att.reshape(B * beam, -1, 1)
+        else:
+            att = self.attention(v, hq, deterministic=deterministic,
+                                 v_cache=att_cache)
+            att_v = jnp.sum(att * v, axis=1)
         h2 = self.language_rnn(h2, jnp.concatenate([att_v, hq], axis=1))
         h2_out = h2[0] if self.rnn_type == "LSTM" else h2
         output = self.h2_fcnet(self.drop(h2_out, deterministic=deterministic))

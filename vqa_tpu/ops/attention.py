@@ -28,38 +28,87 @@ from vqa_tpu.ops.linear import FCNet, WNDense
 
 
 class ConcatAttention(nn.Module):
-    """softmax_objs(WN([v;q]) -> ReLU -> WN -> 1)  (attention.py:18-51)."""
+    """softmax_objs(WN([v;q]) -> ReLU -> WN -> 1)  (attention.py:18-51).
+
+    The concat projection splits exactly: ``[v;q] @ W == v @ W_v + q @ W_q``
+    (a Linear is linear before the ReLU), so callers that attend over the
+    *same* boxes every decode step hoist the v half once via ``project_v``
+    and pass it back as ``v_cache`` — the per-step cost drops from a
+    [B*objs, v_dim+q_dim] GEMM to a [B, q_dim] GEMM. This is the decisive
+    beam-decode optimization (the reference recomputes the full projection
+    all 19 steps, generator.py:177-190).
+    """
 
     hidden_dim: int
 
-    @nn.compact
-    def __call__(self, v: jax.Array, q: jax.Array, *, deterministic: bool = True
-                 ) -> jax.Array:
-        """v: [batch, num_objs, v_dim], q: [batch, q_dim] -> [batch, num_objs, 1]."""
-        num_objs = v.shape[1]
-        q_tiled = jnp.broadcast_to(q[:, None, :], (q.shape[0], num_objs, q.shape[-1]))
-        vq = jnp.concatenate([v, q_tiled], axis=2)
-        logits = WNDense(self.hidden_dim, name="fc0")(vq)
-        logits = nn.relu(logits)
-        logits = WNDense(1, name="fc1")(logits)
+    def setup(self):
+        self.fc0 = WNDense(self.hidden_dim)
+        self.fc1 = WNDense(1)
+
+    def project_v(self, v: jax.Array, q_dim: int) -> jax.Array:
+        """Loop-invariant v-side projection [batch, num_objs, hidden]
+        (no bias — the bias joins on the per-step q side)."""
+        return self.fc0(v, in_dim=v.shape[-1] + q_dim, row_start=0,
+                        add_bias=False)
+
+    def __call__(self, v: jax.Array, q: jax.Array, *,
+                 deterministic: bool = True,
+                 v_cache: jax.Array | None = None) -> jax.Array:
+        """v: [batch, num_objs, v_dim], q: [batch, q_dim] -> [batch, num_objs, 1].
+
+        Beam mode: q may be [batch, k, q_dim] against a *shared* v — one
+        v-side read serves all k beams of an image (beam search repeats v
+        per beam otherwise; at B=4096 k=3 bf16 that is ~0.6 GB of HBM
+        traffic per decode step saved). Returns [batch, k, num_objs, 1].
+        """
+        full = v.shape[-1] + q.shape[-1]
+        if v_cache is None:
+            v_cache = self.project_v(v, q.shape[-1])
+        qp = self.fc0(q, in_dim=full, row_start=v.shape[-1])  # + bias
+        if q.ndim == 3:
+            logits = self.fc1(nn.relu(v_cache[:, None] + qp[:, :, None, :]))
+            return jax.nn.softmax(logits, axis=2)
+        logits = self.fc1(nn.relu(v_cache + qp[:, None, :]))
         return jax.nn.softmax(logits, axis=1)
 
 
 class MultiplyAttention(nn.Module):
-    """softmax_objs(WN(dropout(FCNet(v) * FCNet(q))))  (attention.py:55-86)."""
+    """softmax_objs(WN(dropout(FCNet(v) * FCNet(q))))  (attention.py:55-86).
+
+    ``W_v(v)`` is loop-invariant across decode steps — hoist with
+    ``project_v`` / ``v_cache`` exactly like ConcatAttention.
+    """
 
     hidden_dim: int
     dropout: float = 0.2
 
-    @nn.compact
-    def __call__(self, v: jax.Array, q: jax.Array, *, deterministic: bool = True
-                 ) -> jax.Array:
-        """v: [batch, num_objs, v_dim], q: [batch, q_dim] -> [batch, num_objs, 1]."""
-        vp = FCNet(self.hidden_dim, name="W_v")(v)           # [batch, k, hidden]
-        qp = FCNet(self.hidden_dim, name="W_q")(q)           # [batch, hidden]
+    def setup(self):
+        self.W_v = FCNet(self.hidden_dim)
+        self.W_q = FCNet(self.hidden_dim)
+        self.linear = WNDense(1)
+        self.drop = nn.Dropout(self.dropout)
+
+    def project_v(self, v: jax.Array, q_dim: int = 0) -> jax.Array:
+        del q_dim
+        return self.W_v(v)                                   # [batch, k, hidden]
+
+    def __call__(self, v: jax.Array, q: jax.Array, *,
+                 deterministic: bool = True,
+                 v_cache: jax.Array | None = None) -> jax.Array:
+        """v: [batch, num_objs, v_dim], q: [batch, q_dim] -> [batch, num_objs, 1].
+
+        Beam mode: q [batch, k, q_dim] against shared v (see
+        ConcatAttention) -> [batch, k, num_objs, 1].
+        """
+        vp = v_cache if v_cache is not None else self.project_v(v)
+        qp = self.W_q(q)                                     # [batch(, k), hidden]
+        if q.ndim == 3:
+            joint = vp[:, None] * qp[:, :, None, :]
+            joint = self.drop(joint, deterministic=deterministic)
+            return jax.nn.softmax(self.linear(joint), axis=2)
         joint = vp * qp[:, None, :]
-        joint = nn.Dropout(self.dropout)(joint, deterministic=deterministic)
-        logits = WNDense(1, name="linear")(joint)            # [batch, k, 1]
+        joint = self.drop(joint, deterministic=deterministic)
+        logits = self.linear(joint)                          # [batch, objs, 1]
         return jax.nn.softmax(logits, axis=1)
 
 

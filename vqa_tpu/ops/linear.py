@@ -49,6 +49,14 @@ class WNDense(nn.Module):
 
     Parameters: direction ``v`` [in, out], scalar gain ``g`` (init ||v||_F),
     optional bias ``b`` [out]. Forward: ``x @ (g / ||v||_F) v + b``.
+
+    Row-sliced calls: passing ``in_dim`` (the full input width the kernel is
+    declared over) with a narrower ``x`` multiplies only kernel rows
+    ``[row_start, row_start + x.shape[-1])`` — because a Linear over a
+    concatenation splits exactly as ``[v;q] @ W == v @ W_v + q @ W_q``, this
+    lets callers hoist the loop-invariant part of a fused projection out of
+    a decode loop (see ops/attention.py). The weight-norm scale always uses
+    the full ``||v||_F``.
     """
 
     features: int
@@ -56,17 +64,23 @@ class WNDense(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_dim = x.shape[-1]
-        v = self.param("v", torch_linear_uniform(in_dim), (in_dim, self.features))
+    def __call__(self, x: jax.Array, *, in_dim: Optional[int] = None,
+                 row_start: int = 0, add_bias: bool = True) -> jax.Array:
+        full_dim = in_dim if in_dim is not None else x.shape[-1]
+        v = self.param("v", torch_linear_uniform(full_dim),
+                       (full_dim, self.features))
         # g initialized to the Frobenius norm of v => initial W == v.
         g = self.param("g", lambda _key: jnp.sqrt(jnp.sum(v * v)))
         scale = g * jax.lax.rsqrt(jnp.sum(v * v))
-        kernel = (scale * v).astype(self.dtype or x.dtype)
+        rows = v if x.shape[-1] == full_dim else \
+            v[row_start:row_start + x.shape[-1]]
+        kernel = (scale * rows).astype(self.dtype or x.dtype)
         y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
         if self.use_bias:
-            b = self.param("b", torch_linear_uniform(in_dim), (self.features,))
-            y = y + b.astype(y.dtype)
+            b = self.param("b", torch_linear_uniform(full_dim),
+                           (self.features,))
+            if add_bias:
+                y = y + b.astype(y.dtype)
         return y
 
 

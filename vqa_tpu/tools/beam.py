@@ -41,13 +41,19 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
     generator = model.generator
     assert generator is not None, "model has no caption generator"
 
-    def _decode_step(params, v, v_mean, prev_tokens, h):
-        def fn(mdl, v, v_mean, prev_tokens, h):
+    def _project_v(params, v):
+        def fn(mdl, v):
+            return mdl.generator.project_v(v)
+        return model.apply({"params": params}, v, method=fn)
+
+    def _decode_step(params, v, v_mean, prev_tokens, h, att_cache):
+        def fn(mdl, v, v_mean, prev_tokens, h, att_cache):
             prev = mdl.encoder.embed(prev_tokens)
             return mdl.generator.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                        att_cache=att_cache, beam=k,
                                         deterministic=True)
         return model.apply({"params": params}, v, v_mean, prev_tokens, h,
-                           method=fn)
+                           att_cache, method=fn)
 
     @jax.jit
     def beam_search(params, batch) -> Tuple[jax.Array, jax.Array]:
@@ -58,9 +64,14 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
         B, objs, v_dim = v.shape
         v_mean = jnp.mean(v, axis=1)
 
-        # tile to beams: [B*k, ...]
-        v_b = jnp.repeat(v, k, axis=0)
+        # v stays per-image: beam-mode attention (generator.decode beam=k)
+        # reads each image's boxes once for all k beams; only the mean
+        # (a cell input) is tiled to [B*k, v_dim]
         v_mean_b = jnp.repeat(v_mean, k, axis=0)
+        # the attention v-projection never changes across steps or beam
+        # reorderings (it has no hidden-state input): one GEMM here replaces
+        # c_len-1 GEMMs inside the scan
+        att_cache = _project_v(params, v)
 
         tokens0 = jnp.full((B, k, c_len), end_id, jnp.int32)
         tokens0 = tokens0.at[:, :, 0].set(start_id)
@@ -74,20 +85,35 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
         def body(carry, t):
             tokens, logp, length, finished, h = carry
             prev = tokens[:, :, t].reshape(B * k)
-            h, logits, _ = _decode_step(params, v_b, v_mean_b, prev, h)
+            h, logits, _ = _decode_step(params, v, v_mean_b, prev, h,
+                                        att_cache)
             V = logits.shape[-1]
-            step_scores = (logits if legacy_logit_scores
-                           else jax.nn.log_softmax(logits, axis=-1))
-            step_scores = step_scores.reshape(B, k, V)
+            # Candidate shrink: the global top-k over k*V candidates lies in
+            # the union of each beam's top-k, and per-beam top-k of
+            # log_softmax == top-k of raw logits (a monotone per-row shift
+            # by logsumexp) — so one [B*k, V] top_k + one logsumexp replace
+            # materializing and ranking the full [B, k*V] normalized array.
+            top_val, top_word = jax.lax.top_k(logits, k)   # [B*k, k]
+            if legacy_logit_scores:
+                step_scores = top_val
+            else:
+                lse = jax.scipy.special.logsumexp(logits, axis=-1,
+                                                  keepdims=True)
+                step_scores = top_val - lse
+            step_scores = step_scores.reshape(B, k, k)
+            top_word = top_word.reshape(B, k, k)
             # finished beams: continue only via <end> with zero added score
-            cont_mask = jnp.where(
-                jnp.arange(V)[None, None, :] == end_id, 0.0, NEG_INF)
-            step_scores = jnp.where(finished[:, :, None], cont_mask,
-                                    step_scores)
-            cand = logp[:, :, None] + step_scores          # [B, k, V]
-            top_logp, top_idx = jax.lax.top_k(cand.reshape(B, k * V), k)
-            beam_idx = top_idx // V                        # [B, k]
-            word = (top_idx % V).astype(jnp.int32)
+            # (candidate 0 becomes <end>, the rest are masked out)
+            step_scores = jnp.where(
+                finished[:, :, None],
+                jnp.where(jnp.arange(k)[None, None, :] == 0, 0.0, NEG_INF),
+                step_scores)
+            top_word = jnp.where(finished[:, :, None], end_id, top_word)
+            cand = logp[:, :, None] + step_scores          # [B, k, k]
+            top_logp, top_idx = jax.lax.top_k(cand.reshape(B, k * k), k)
+            beam_idx = top_idx // k                        # [B, k]
+            word = jnp.take_along_axis(
+                top_word.reshape(B, k * k), top_idx, axis=1).astype(jnp.int32)
 
             gather = lambda arr: jnp.take_along_axis(
                 arr, beam_idx[..., None] if arr.ndim == 3 else beam_idx,
