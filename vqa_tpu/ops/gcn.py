@@ -93,10 +93,17 @@ class DirectedGraphConv(nn.Module):
                             (in_dim, self.out_dim))
         out = jnp.matmul(feature, w_self.astype(feature.dtype),
                          preferred_element_type=feature.dtype)
-        for i in range(self.dir_num - 1):
-            w = self.param(f"w{i}", torch_linear_uniform(in_dim),
-                           (in_dim, self.out_dim))
-            proj = jnp.matmul(feature, w.astype(feature.dtype),
+        # All direction projections propagate through the SAME adjacency
+        # (reference gcn.py:93-107), so sum_i adj@(f@Wi) == adj@(f@sum(Wi)):
+        # folding the direction weights turns dir_num-1 big GEMMs into one
+        # [in, out] add + one GEMM. Exact, and autodiff through the fold
+        # yields the same per-weight gradients as the unfolded form.
+        ws = [self.param(f"w{i}", torch_linear_uniform(in_dim),
+                         (in_dim, self.out_dim))
+              for i in range(self.dir_num - 1)]
+        if ws:
+            w_fold = sum(ws[1:], start=ws[0])
+            proj = jnp.matmul(feature, w_fold.astype(feature.dtype),
                               preferred_element_type=feature.dtype)
             out = out + jnp.matmul(adj, proj, preferred_element_type=out.dtype)
         bias = self.param("label_bias", _uniform(1.0 / (self.out_dim ** 0.5)),

@@ -43,12 +43,18 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 
 def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Leading-axis 'data' sharding for arrays, replicated scalars."""
+    """Leading-axis 'data' sharding for arrays, replicated scalars.
+
+    Divisibility is checked against the devices *this process* feeds: in
+    multi-host runs each host holds batch_size rows that spread over its
+    local slice of the 'data' axis.
+    """
     out = {}
     n_data = mesh.shape["data"]
+    n_local = max(1, n_data // jax.process_count())
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
+        if arr.ndim >= 1 and arr.shape[0] % n_local == 0:
             out[k] = NamedSharding(mesh, P("data"))
         else:
             out[k] = NamedSharding(mesh, P())
@@ -56,8 +62,22 @@ def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """device_put a host batch with data-parallel shardings."""
+    """device_put a host batch with data-parallel shardings.
+
+    Multi-host: each process holds only its shard of the global batch (the
+    Loader feeds per-host batches, loader.py num_shards); the global array
+    is assembled without cross-host data movement via
+    ``make_array_from_process_local_data`` — the per-host rows land on that
+    host's own devices.
+    """
     shardings = batch_shardings(mesh, batch)
+    if jax.process_count() > 1:
+        out = {}
+        for k, v in batch.items():
+            arr = np.asarray(v)
+            out[k] = jax.make_array_from_process_local_data(
+                shardings[k], arr)
+        return out
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
 

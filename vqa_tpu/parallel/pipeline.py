@@ -19,10 +19,13 @@ pipeline is the explicit-placement alternative the reference gestured at.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 class TwoStagePipeline:
@@ -91,3 +94,65 @@ def split_microbatches(batch: Dict[str, np.ndarray], n_micro: int
     step = size // n_micro
     return [{k: v[i * step:(i + 1) * step] for k, v in batch.items()}
             for i in range(n_micro)]
+
+
+def make_stage_mesh(n_stages: int, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D ('stage',) mesh over the first n_stages devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n_stages, (len(devices), n_stages)
+    return Mesh(np.asarray(devices[:n_stages]), ("stage",))
+
+
+def pipeline_apply(mesh: Mesh,
+                   stage_fn: Callable[[Any, jax.Array], jax.Array],
+                   stacked_params: Any,
+                   microbatches: jax.Array) -> jax.Array:
+    """N-stage GPipe-style pipeline as ONE jitted shard_map program.
+
+    Generalizes TwoStagePipeline (VERDICT r1 item 9): every device holds one
+    stage's parameters (``stacked_params`` leading axis = n_stages, sharded
+    over the ``stage`` mesh axis) and activations flow stage -> stage+1 via
+    ``lax.ppermute`` over ICI. The schedule runs M + S - 1 ticks: tick t
+    injects microbatch t into stage 0, stage s processes microbatch t - s,
+    the last stage collects outputs. All stages compute every tick (the
+    classic pipeline bubble is (S-1)/(M+S-1)); no host round-trips and no
+    per-stage dispatch — XLA sees one program with S-way parallelism.
+
+    stage_fn: (per-stage params, [mb, ...]) -> [mb, ...] with the SAME
+    activation shape for every stage (homogeneous-stage pipelining; the
+    heterogeneous encoder/generator split keeps TwoStagePipeline).
+    microbatches: [M, mb, ...]; returns [M, mb, ...].
+    """
+    n_stages = mesh.shape["stage"]
+    n_micro = microbatches.shape[0]
+
+    def per_device(params, xs):
+        params = jax.tree_util.tree_map(lambda p: p[0], params)
+        stage = jax.lax.axis_index("stage")
+        right_shift = [(i, i + 1) for i in range(n_stages - 1)]
+
+        def tick(t, state):
+            carry, outs = state
+            # stage 0 reads microbatch t from the feed; later stages read
+            # the activation ppermuted from their predecessor last tick
+            x_in = jnp.where(stage == 0, xs[jnp.clip(t, 0, n_micro - 1)],
+                             carry)
+            y = stage_fn(params, x_in)
+            out_t = t - (n_stages - 1)
+            collect = (stage == n_stages - 1) & (out_t >= 0)
+            slot = jnp.clip(out_t, 0, n_micro - 1)
+            outs = outs.at[slot].set(jnp.where(collect, y, outs[slot]))
+            carry = jax.lax.ppermute(y, "stage", right_shift)
+            return carry, outs
+
+        carry0 = jnp.zeros_like(xs[0])
+        outs0 = jnp.zeros_like(xs)
+        _, outs = jax.lax.fori_loop(0, n_micro + n_stages - 1, tick,
+                                    (carry0, outs0))
+        # only the last stage wrote outs; psum replicates it everywhere
+        return jax.lax.psum(outs, "stage")
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(P("stage"), P()), out_specs=P(),
+                       check_vma=False)
+    return jax.jit(fn)(stacked_params, microbatches)
