@@ -179,7 +179,8 @@ def main():
                       lr_vqa=args.lr_vqa, lr_cap=args.lr_cap,
                       val_checkpoint=val_checkpoint, seed=args.seed,
                       mesh=mesh, init_state=init_state,
-                      profile_dir=args.profile_dir or None)
+                      profile_dir=args.profile_dir or None,
+                      train_dtype=getattr(args, "train_dtype", "float32"))
         if getattr(args, "train_strategy", "joint") == "select":
             # max-relevance candidate training over the all-captions dataset
             from vqa_tpu.data.dataset import set_dataset as _sd

@@ -176,3 +176,57 @@ def test_gru_v3_matches_scan(rng):
     want = rnn_scan(params, jnp.asarray(emb))[:, -1]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_chain_fused_matches_xla(rng):
+    """Fused graph-local chain == the XLA chain in ops/gcn.py, f32 exact-ish."""
+    from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
+    from vqa_tpu.ops.gcn import label_bias_sum
+    B, N, D, L = 8, 36, 64, 12
+    out_self = rng.standard_normal((B, N, D)).astype(np.float32)
+    proj = rng.standard_normal((B, N, D)).astype(np.float32)
+    graph = rng.integers(0, L, size=(B, N, N)).astype(np.int32)
+    pq = rng.standard_normal((B, N, 16)).astype(np.float32)
+    pk = rng.standard_normal((B, N, 16)).astype(np.float32)
+    alpha_raw = np.maximum(np.einsum("bid,bjd->bij", pq, pk), 0.0)
+    bias = (rng.standard_normal((L, D)) * 0.1).astype(np.float32)
+
+    # XLA reference: exactly the CorrelatedGraphConv chain
+    adj = (graph != 0).astype(np.float32)
+    out = out_self + jnp.matmul(adj, proj)
+    out = out + label_bias_sum(jnp.asarray(graph), jnp.asarray(bias), L)
+    a = jnp.matmul(adj, alpha_raw)
+    a = jax.nn.softmax(a, axis=1)
+    want = jnp.matmul(a, out)
+
+    got = gcn_chain_fused(*map(jnp.asarray, (out_self, proj, alpha_raw,
+                                             graph, bias)),
+                          num_labels=L, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_module_pallas_path_matches_xla(rng):
+    """GCN(use_pallas=True) inference == GCN() with identical params; the
+    training path (deterministic=False) stays on the differentiable XLA
+    chain regardless of the flag."""
+    from vqa_tpu.ops.gcn import GCN
+    B, N, D = 4, 36, 32
+    f = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32) * 0.3)
+    g = jnp.asarray(rng.integers(0, 12, size=(B, N, N)).astype(np.int32))
+    ref = GCN(out_dim=D, conv_layer=2, conv_type="corr", dropout=0.0)
+    fused = GCN(out_dim=D, conv_layer=2, conv_type="corr", dropout=0.0,
+                use_pallas=True)
+    params = ref.init(jax.random.PRNGKey(0), f, g)
+    want = ref.apply(params, f, g, deterministic=True)
+    got = fused.apply(params, f, g, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # gradient path must not touch the kernel (it has no VJP): this
+    # differentiates the use_pallas=True module in training mode
+    def loss(p):
+        rngs = {"dropout": jax.random.PRNGKey(1)}
+        return jnp.sum(fused.apply(p, f, g, deterministic=False, rngs=rngs))
+    grads = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(grads))

@@ -263,3 +263,47 @@ def test_profiler_trace_capture(root, tmp_path):
     # the trace must contain real events (not an empty capture)
     xplanes = [f for f in artifacts if f.endswith(".xplane.pb")]
     assert xplanes and os.path.getsize(xplanes[0]) > 1000, xplanes
+
+
+def test_bf16_mixed_precision_train_step(root):
+    """bf16 compute tracks f32 (PERF.md 'bf16 training'); masters stay f32.
+
+    The convergence study (scripts/bf16_convergence.py, 120 steps on the
+    mini-split) showed mean relative loss gap 5e-4 and identical final VQA
+    score; this test pins the mechanism: f32 master params/moments, bf16
+    matmuls, f32 loss math, first-step loss within bf16 tolerance of f32.
+    """
+    import jax
+    import jax.numpy as jnp
+    model = _model(root)
+    train_loader, _ = _loaders(root)
+    tx = optim_lib.make_optimizer(lr=2e-3, steps_per_epoch=len(train_loader))
+    batch = model_batch(next(iter(train_loader)))
+    # two independent states (train_step donates its input buffers)
+    state32 = create_train_state(model, tx, batch, seed=0)
+    state16 = create_train_state(model, tx, batch, seed=0)
+    step32 = make_train_step(model, tx)
+    step16 = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
+    l32, l16 = [], []
+    for _ in range(10):
+        state32, m32 = step32(state32, batch)
+        state16, m16 = step16(state16, batch)
+        l32.append(float(m32["loss"]))
+        l16.append(float(m16["loss"]))
+    # trajectories track within bf16 tolerance
+    for a, b in zip(l32, l16):
+        assert abs(a - b) / abs(a) < 0.02, (l32, l16)
+    # master params and optimizer moments stayed f32
+    for leaf in jax.tree_util.tree_leaves(state16.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state16.opt_state):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+
+
+def test_train_dtype_default_is_bf16():
+    """The CLI trains mixed-precision bf16 by default (study: PERF.md);
+    --train_dtype float32 restores exact reference-recipe numerics."""
+    from vqa_tpu.config import parse_args
+    args = parse_args(["--comment", "x"])
+    assert args.train_dtype == "bfloat16"

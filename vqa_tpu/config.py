@@ -141,6 +141,16 @@ def parse_args(argv=None):
                              "(bf16 inference fast path)")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
+    parser.add_argument("--train_dtype", type=str, default="bfloat16",
+                        help="matmul compute dtype for training "
+                             "(float32 | bfloat16); master params and "
+                             "optimizer moments stay f32 (mixed precision). "
+                             "Default bfloat16: the mini-split convergence "
+                             "study (PERF.md 'bf16 training') shows loss "
+                             "trajectories tracking f32 within 0.1%% rel "
+                             "while the MXU runs ~2x faster; pass "
+                             "--train_dtype float32 for bit-exact "
+                             "reference-recipe numerics")
     parser.add_argument("--val_every", type=int, default=0,
                         help="validate every N batches mid-epoch (0 keeps the "
                              "reference's samples-modulus quirk, train.py:121)")

@@ -147,11 +147,13 @@ class RelationEncoder(BaseEncoder):
             self.implicit_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
                                         conv_type=self.conv_type,
                                         dropout=self.dropout,
+                                        use_pallas=self.use_pallas,
                                         name="implicit_encoder")
         if self.use_spa:
             self.spatial_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
                                        conv_type=self.conv_type,
                                        dropout=self.dropout,
+                                       use_pallas=self.use_pallas,
                                        name="spatial_encoder")
         if self.use_sem:
             # Semantic-relation branch: the graph itself must come from an
@@ -163,6 +165,7 @@ class RelationEncoder(BaseEncoder):
                                         conv_layer=self.conv_layer,
                                         conv_type=self.conv_type,
                                         dropout=self.dropout,
+                                        use_pallas=self.use_pallas,
                                         name="semantic_encoder")
 
     def __call__(self, batch, graph_alpha: bool = False, *,

@@ -49,6 +49,11 @@ def compute_score(predict: jax.Array, target: jax.Array,
 
 def instance_bce_with_logits(predict: jax.Array, target: jax.Array) -> jax.Array:
     """Mean BCE-with-logits x num_answers (wrapper.py:25-29)."""
+    # Loss math always in f32: under bf16 mixed-precision training the
+    # logits arrive as bf16 and log1p/exp would lose the low-order bits
+    # that the optimizer needs (see PERF.md "bf16 training").
+    predict = predict.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     # log(1 + exp(-|x|)) + max(x, 0) - x * z  — numerically stable BCE.
     loss = jnp.maximum(predict, 0) - predict * target + jnp.log1p(
         jnp.exp(-jnp.abs(predict)))
@@ -61,7 +66,7 @@ def ce_for_language_model(predict: jax.Array, target: jax.Array,
 
     predict: [B, T, ntoken]; target: [B, T] int; mask: [B, T] {0,1}.
     """
-    logp = jax.nn.log_softmax(predict, axis=-1)
+    logp = jax.nn.log_softmax(predict.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 

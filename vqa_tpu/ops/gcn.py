@@ -82,11 +82,12 @@ class DirectedGraphConv(nn.Module):
     out_dim: int
     num_labels: int = 12
     dir_num: int = 3
+    use_pallas: bool = False
 
     @nn.compact
-    def conv(self, feature: jax.Array, graph: jax.Array) -> jax.Array:
+    def conv(self, feature: jax.Array, graph: jax.Array,
+             return_parts: bool = False):
         in_dim = feature.shape[-1]
-        adj = (graph != 0).astype(feature.dtype)
         # torch nn.Linear(bias=False) default init (reset_parameters only
         # touches the label bias, gcn.py:69-76).
         w_self = self.param(f"w{self.dir_num - 1}", torch_linear_uniform(in_dim),
@@ -101,13 +102,20 @@ class DirectedGraphConv(nn.Module):
         ws = [self.param(f"w{i}", torch_linear_uniform(in_dim),
                          (in_dim, self.out_dim))
               for i in range(self.dir_num - 1)]
+        bias = self.param("label_bias", _uniform(1.0 / (self.out_dim ** 0.5)),
+                          (self.num_labels, self.out_dim))
+        proj = None
         if ws:
             w_fold = sum(ws[1:], start=ws[0])
             proj = jnp.matmul(feature, w_fold.astype(feature.dtype),
                               preferred_element_type=feature.dtype)
+        if return_parts:
+            # pieces for the fused Pallas chain (ops/pallas/gcn_chain.py):
+            # the big MXU GEMMs stay here in XLA, the graph-local chain fuses
+            return out, proj, bias
+        adj = (graph != 0).astype(feature.dtype)
+        if proj is not None:
             out = out + jnp.matmul(adj, proj, preferred_element_type=out.dtype)
-        bias = self.param("label_bias", _uniform(1.0 / (self.out_dim ** 0.5)),
-                          (self.num_labels, self.out_dim))
         return out + label_bias_sum(graph.astype(jnp.int32), bias.astype(out.dtype),
                                     self.num_labels)
 
@@ -119,9 +127,34 @@ class DirectedGraphConv(nn.Module):
 class CorrelatedGraphConv(DirectedGraphConv):
     """Directed conv re-weighted by bilinear correlation alpha (gcn.py:113-168)."""
 
+    def _pallas_eligible(self, feature: jax.Array,
+                         deterministic: bool) -> bool:
+        # inference only (the kernel defines no VJP — training always
+        # differentiates through the XLA chain) and needs the folded
+        # direction projection (dir_num >= 2, always true in the model).
+        return self.use_pallas and deterministic and self.dir_num >= 2
+
     @nn.compact
-    def attend(self, feature: jax.Array, graph: jax.Array
-               ) -> Tuple[jax.Array, jax.Array]:
+    def attend(self, feature: jax.Array, graph: jax.Array, *,
+               deterministic: bool = True,
+               need_alpha: bool = False) -> Tuple[jax.Array, jax.Array]:
+        if self._pallas_eligible(feature, deterministic) and not need_alpha:
+            from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
+            out_self, proj, bias = self.conv(feature, graph,
+                                             return_parts=True)
+            alpha_raw = jnp.maximum(
+                DotProduct(self.out_dim, name="dot_product")(feature, feature),
+                0.0)                                          # gcn.py:124
+            out = gcn_chain_fused(out_self, proj, alpha_raw,
+                                  graph.astype(jnp.int32),
+                                  bias.astype(out_self.dtype),
+                                  num_labels=self.num_labels,
+                                  block_b=next(b for b in (4, 2, 1)
+                                               if feature.shape[0] % b == 0),
+                                  interpret=jax.default_backend() != "tpu")
+            # the fused kernel does not materialize alpha; get_alpha
+            # visualization uses the XLA path (GCN.__call__ routes there)
+            return out, None
         adj = (graph != 0).astype(feature.dtype)
         out = self.conv(feature, graph)
         alpha = DotProduct(self.out_dim, name="dot_product")(feature, feature)
@@ -133,7 +166,7 @@ class CorrelatedGraphConv(DirectedGraphConv):
 
     def __call__(self, feature: jax.Array, graph: jax.Array,
                  *, deterministic: bool = True) -> jax.Array:
-        out, _ = self.attend(feature, graph)
+        out, _ = self.attend(feature, graph, deterministic=deterministic)
         return out
 
 
@@ -154,16 +187,22 @@ class GCN(nn.Module):
     conv_layer: int = 1
     conv_type: str = "corr"
     dropout: float = 0.5
+    use_pallas: bool = False   # fused chain kernel at inference (corr only)
 
     @nn.compact
     def __call__(self, feature: jax.Array, graph: jax.Array,
                  get_alpha: bool = False, *, deterministic: bool = True):
         conv_cls = get_graph_conv(self.conv_type)
+        extra = ({"use_pallas": self.use_pallas}
+                 if self.conv_type != "base" else {})
         alphas = []
         for i in range(self.conv_layer):
-            conv = conv_cls(self.out_dim, self.num_labels, name=f"conv{i}")
+            conv = conv_cls(self.out_dim, self.num_labels, name=f"conv{i}",
+                            **extra)
             if get_alpha and self.conv_type == "corr":
-                feature, alpha = conv.attend(feature, graph)
+                feature, alpha = conv.attend(feature, graph,
+                                             deterministic=deterministic,
+                                             need_alpha=True)
                 alphas.append(alpha)
             else:
                 feature = conv(feature, graph, deterministic=deterministic)

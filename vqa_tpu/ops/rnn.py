@@ -172,7 +172,10 @@ class SentenceEmbedding(nn.Module):
     def forward_all(self, x: jax.Array, *, deterministic: bool = True,
                     last_only: bool = False) -> jax.Array:
         assert self.rnn_type in ("LSTM", "GRU")
-        if last_only and self._pallas_eligible(x):
+        # deterministic-only: the kernel defines no VJP, so training (incl.
+        # bf16 mixed precision, which feeds bf16 activations here) always
+        # differentiates through the XLA scan path below.
+        if last_only and deterministic and self._pallas_eligible(x):
             # fused last-state path: hoisted input GEMM + streaming kernel
             # (v2: per-step double-buffered DMA, full-width batch tiles)
             from vqa_tpu.ops.pallas.gru_v2 import gru_last_state_v2

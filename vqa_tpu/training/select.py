@@ -101,11 +101,15 @@ def get_select_loss(mdl: VQAModel, batch: Dict[str, Any],
     return loss, writes
 
 
-def make_train_select_step(model: VQAModel, tx: optax.GradientTransformation
-                           ) -> Callable:
+def make_train_select_step(model: VQAModel, tx: optax.GradientTransformation,
+                           compute_dtype=None) -> Callable:
     """Jitted max-relevance train step (same contract as make_train_step)."""
+    from vqa_tpu.training.state import _cast_floats
 
     def loss_fn(params, batch, dropout_key):
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
         return model.apply({"params": params}, batch,
                            method=functools.partial(get_select_loss,
                                                     deterministic=False),

@@ -41,12 +41,35 @@ def create_train_state(model: VQAModel, tx: optax.GradientTransformation,
                       step=jnp.int32(0), rng=run_key)
 
 
-def make_train_step(model: VQAModel, tx: optax.GradientTransformation
+def _cast_floats(tree: Any, dtype) -> Any:
+    """Cast float leaves to ``dtype``; leave ints/bools untouched."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def make_train_step(model: VQAModel, tx: optax.GradientTransformation,
+                    compute_dtype: Any = None
                     ) -> Callable[[TrainState, Dict[str, Any]],
                                   Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the jitted train step (donates the state)."""
+    """Build the jitted train step (donates the state).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables mixed-precision
+    training: master params, gradients and optimizer moments stay f32 while
+    the forward/backward matmuls run in ``compute_dtype`` (the cast sits
+    inside ``loss_fn`` so autodiff produces f32 gradient leaves); the loss
+    functions themselves upcast to f32 (wrapper.py). The reference trains
+    pure f32 (/root/reference/train.py:100-113); on TPU the MXU runs bf16 at
+    ~2x the f32 rate, and the mini-split convergence study (PERF.md "bf16
+    training") shows matching loss trajectories.
+    """
 
     def loss_fn(params, batch, dropout_key):
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
         loss, writes = model.apply({"params": params}, batch,
                                    method="get_loss", deterministic=False,
                                    rngs={"dropout": dropout_key})

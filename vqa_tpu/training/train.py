@@ -129,7 +129,8 @@ def train(model: VQAModel,
           profile_dir: Optional[str] = None,
           profile_steps: tuple = (10, 20),
           step_factory=make_train_step,
-          init_method: str = "get_loss"):
+          init_method: str = "get_loss",
+          train_dtype: str = "float32"):
     """Train loop (reference train.py:11-136). Returns the final TrainState.
 
     ``profile_dir``: if set, capture a jax.profiler trace (Perfetto/XPlane)
@@ -167,7 +168,14 @@ def train(model: VQAModel,
                            step=jnp.int32(0), rng=run_key)
     else:
         state = create_train_state(model, tx, sample, seed=seed)
-    train_step = step_factory(model, tx)
+    # bf16 mixed precision: master params/moments f32, matmuls bf16
+    # (PERF.md "bf16 training"); default f32 matches the reference exactly.
+    compute_dtype = None
+    if train_dtype not in ("float32", "f32", ""):
+        import jax.numpy as jnp
+        compute_dtype = jnp.dtype(train_dtype)
+    train_step = (step_factory(model, tx, compute_dtype=compute_dtype)
+                  if compute_dtype is not None else step_factory(model, tx))
     eval_step = make_eval_step(model)
 
     has_predictor = model.predictor is not None
