@@ -1,13 +1,15 @@
-"""Decompose the ReGAT GCN cost on the real chip (round-2 kernel planning).
+"""Decompose the ReGAT GCN cost on the real chip (round-2 kernel work).
 
-Times, at B=4096 / N=36 / D=2048 (the PERF.md ReGAT row shapes):
-  - full 1-layer corr GCN forward, f32 and bf16
-  - the four big [B*N, D] @ [D, D] GEMMs alone (W_self, W_fold, Wq, Wk)
-  - the residual graph-local chain (adjacency agg + label bias + alpha
-    softmax + alpha@out) alone, with GEMM outputs precomputed
+Measurement scheme: the harness relay adds a large, fluctuating fixed cost
+(~28-38 ms) to every dispatched call, so sub-10 ms ops cannot be timed per
+call. Each candidate op is therefore iterated REPS times inside ONE jit via
+``lax.fori_loop`` with a data dependency (the output feeds the next
+iteration), and the per-op time is (t(REPS) - t(1)) / (REPS - 1) — the
+relay cost cancels. Results are fetched as a MAX reduction: sum() is unsafe
+(XLA rewrites sum(dot(A, B)) into vector contractions), max() does not
+distribute over dot.
 
-Per-iteration host fetches (np.asarray) per the harness relay rules
-(bench.py "Measurement notes").
+Shapes: B=4096, N=36 objects, D=2048 (the PERF.md ReGAT row).
 """
 
 import functools
@@ -20,44 +22,45 @@ import numpy as np
 from vqa_tpu.ops.gcn import GCN, label_bias_sum
 
 B, N, D = 4096, 36, 2048
-WARMUP, ITERS = 2, 5
+WARMUP, ITERS, REPS = 1, 3, 8
 
 
-def bench(fn, *args, name=""):
-    # fetch a SCALAR each iteration: execution is provably complete but the
-    # ~130 MB/s relay link doesn't dominate the timing (PERF.md quirks)
-    red = jax.jit(lambda *a: jnp.float32(sum(
-        jnp.sum(x.astype(jnp.float32)) for x in
-        jax.tree_util.tree_leaves(fn(*a)))))
+def _timed(jitted, *args):
     for _ in range(WARMUP):
-        np.asarray(red(*args))
-    times = []
+        np.asarray(jitted(*args))
+    best = float("inf")
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        np.asarray(red(*args))
-        times.append(time.perf_counter() - t0)
-    ms = 1e3 * min(times)
-    print(f"{name:42s} {ms:8.1f} ms   ({B / (ms / 1e3):,.0f} img/s)", flush=True)
+        np.asarray(jitted(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench(step, carry, args, name=""):
+    """step: (carry, *args) -> carry (same shape/dtype)."""
+    def run(reps):
+        @jax.jit
+        def fn(c, *a):
+            c = jax.lax.fori_loop(0, reps, lambda i, c: step(c, *a), c)
+            return jnp.max(c.astype(jnp.float32))
+        return fn
+    t1 = _timed(run(1), carry, *args)
+    tn = _timed(run(REPS), carry, *args)
+    ms = 1e3 * (tn - t1) / (REPS - 1)
+    print(f"{name:46s} {ms:8.2f} ms   ({B / (ms / 1e3):,.0f} img/s)",
+          flush=True)
     return ms
 
 
-def chain(out_self, proj, pq, pk, graph, bias):
-    """Everything in CorrelatedGraphConv after the 4 big GEMMs."""
+def chain_from_alpha(out_self, proj, alpha_raw, graph, bias):
+    """CorrelatedGraphConv graph-local chain (ops/gcn.py XLA path)."""
     adj = (graph != 0).astype(out_self.dtype)
-    out = out_self + jnp.matmul(adj, proj, preferred_element_type=out_self.dtype)
+    out = out_self + jnp.matmul(adj, proj,
+                                preferred_element_type=out_self.dtype)
     out = out + label_bias_sum(graph, bias.astype(out.dtype), 12)
-    alpha = jnp.einsum("bid,bjd->bij", pq, pk,
-                       preferred_element_type=pq.dtype)
-    alpha = jnp.maximum(alpha, 0.0)
-    alpha = jnp.matmul(adj, alpha, preferred_element_type=alpha.dtype)
-    alpha = jax.nn.softmax(alpha, axis=1)
-    out = jnp.matmul(alpha, out, preferred_element_type=out.dtype)
-    # dropout(eval)=identity; relu epilogue
-    return jax.nn.relu(out)
-
-
-def gemms(f, w_self, w_fold, wq, wk):
-    return (f @ w_self, f @ w_fold, f @ wq, f @ wk)
+    a = jnp.matmul(adj, alpha_raw, preferred_element_type=alpha_raw.dtype)
+    a = jax.nn.softmax(a, axis=1)
+    return jnp.matmul(a, out, preferred_element_type=out.dtype)
 
 
 def main():
@@ -67,56 +70,52 @@ def main():
     g_np = rng.integers(0, 12, size=(B, N, N), dtype=np.int32)
 
     gcn = GCN(out_dim=D, num_labels=12, conv_layer=1, conv_type="corr")
+    gcn_fused = GCN(out_dim=D, num_labels=12, conv_layer=1, conv_type="corr",
+                    use_pallas=True)
     params = gcn.init(jax.random.PRNGKey(0), jnp.zeros((2, N, D)),
                       jnp.zeros((2, N, N), jnp.int32))
 
-    for dtype in (jnp.float32, jnp.bfloat16):
+    from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
+
+    for dtype in (jnp.bfloat16, jnp.float32):
         tag = dtype.__name__
         f = jax.device_put(f_np.astype(dtype))
         g = jax.device_put(g_np)
         p = jax.tree.map(lambda x: x.astype(dtype), params)
 
-        full = jax.jit(lambda p, f, g: gcn.apply(p, f, g, deterministic=True))
-        bench(full, p, f, g, name=f"full corr GCN [{tag}]")
+        # full layer, XLA vs fused-kernel module path
+        bench(lambda c, g: gcn.apply(p, c, g, deterministic=True), f, (g,),
+              name=f"full corr GCN, XLA [{tag}]")
+        bench(lambda c, g: gcn_fused.apply(p, c, g, deterministic=True),
+              f, (g,), name=f"full corr GCN, fused chain [{tag}]")
 
-        # Direct GEMM timing with synthetic same-shape weights (init details
-        # don't matter for speed):
-        wmat = jax.device_put(
-            rng.standard_normal((D, D), dtype=np.float32).astype(dtype) * 0.01)
+        # the 4 big projections alone (distinct weights; normalized carry
+        # to keep values bounded across reps)
+        ws = [jax.device_put((rng.standard_normal((D, D)) * 0.02)
+                             .astype(dtype)) for _ in range(4)]
         f2 = f.reshape(B * N, D)
-        g4 = jax.jit(lambda f2, w: gemms(f2, w, w, w, w))
-        bench(g4, f2, wmat, name=f"4x [B*N,{D}]@[{D},{D}] GEMMs [{tag}]")
 
-        # graph-local chain with precomputed GEMM outputs
-        pre = jax.device_put(np.asarray(f, np.float32).astype(dtype))
-        bias = jax.device_put(
-            rng.standard_normal((12, D), dtype=np.float32).astype(dtype))
-        ch = jax.jit(chain)
-        bench(ch, pre, pre, pre, pre, g, bias, name=f"graph-local chain [{tag}]")
+        def gemms4(c, w0, w1, w2, w3):
+            o = (c @ w0 + c @ w1 + c @ w2 + c @ w3).astype(jnp.float32)
+            return (o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-6)).astype(c.dtype)
+        bench(gemms4, f2, tuple(ws), name=f"4x [B*N,{D}]@[{D},{D}] GEMMs [{tag}]")
 
-        # fused Pallas chain kernel vs the same chain-from-alpha in XLA
-        from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
-        from vqa_tpu.ops.gcn import label_bias_sum
+        # graph-local chain: XLA vs kernel at block sizes
         araw = jax.device_put(
             np.maximum(rng.standard_normal((B, N, N), dtype=np.float32), 0)
             .astype(dtype))
-
-        def chain_from_alpha(out_self, proj, alpha_raw, graph, bias):
-            adj = (graph != 0).astype(out_self.dtype)
-            out = out_self + jnp.matmul(adj, proj,
-                                        preferred_element_type=out_self.dtype)
-            out = out + label_bias_sum(graph, bias.astype(out.dtype), 12)
-            a = jnp.matmul(adj, alpha_raw, preferred_element_type=alpha_raw.dtype)
-            a = jax.nn.softmax(a, axis=1)
-            return jnp.matmul(a, out, preferred_element_type=out.dtype)
-
-        bench(jax.jit(chain_from_alpha), pre, pre, araw, g, bias,
-              name=f"chain-from-alpha, XLA [{tag}]")
-        for bb in (4, 8):
-            bench(functools.partial(gcn_chain_fused, num_labels=12,
-                                    block_b=bb),
-                  pre, pre, araw, g, bias,
-                  name=f"chain-from-alpha, fused bb={bb} [{tag}]")
+        bias = jax.device_put(
+            (rng.standard_normal((12, D)) * 0.1).astype(np.float32)
+            .astype(dtype))
+        proj = jax.device_put((f_np * 0.5).astype(dtype))
+        bench(lambda c, *a: chain_from_alpha(c, *a), f,
+              (proj, araw, g, bias), name=f"chain, XLA [{tag}]")
+        blocks = (4, 8) if dtype == jnp.bfloat16 else (4,)
+        for bb in blocks:
+            bench(lambda c, *a, _bb=bb: gcn_chain_fused(
+                c, *a, num_labels=12, block_b=_bb),
+                f, (proj, araw, g, bias),
+                name=f"chain, fused bb={bb} [{tag}]")
 
 
 if __name__ == "__main__":

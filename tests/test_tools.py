@@ -275,3 +275,40 @@ def test_meteor_stem_vs_exact_ranking_agreement():
     # both variants must rank the graded corpus monotonically
     assert scores_stem == sorted(scores_stem, reverse=True), scores_stem
     assert scores_exact == sorted(scores_exact, reverse=True), scores_exact
+
+
+def test_beam_fused_vocab_matches_default(setup):
+    """fused_vocab=True (Pallas vocab-head kernel: GEMM + running top-k +
+    online logsumexp) returns the same beams and scores as the XLA path."""
+    model, params, batch = setup
+    vocab = _vocab()
+    bs = make_beam_search(model, k=3, c_len=C_LEN, start_id=vocab.start,
+                          end_id=vocab.end)
+    bs_f = make_beam_search(model, k=3, c_len=C_LEN, start_id=vocab.start,
+                            end_id=vocab.end, fused_vocab=True)
+    tokens, scores = bs(params, batch)
+    tokens_f, scores_f = bs_f(params, batch)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens_f))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores_f),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vocab_topk_kernel_parity():
+    """vocab_topk_lse == lax.top_k + logsumexp on the same logits,
+    including a ragged last vocab chunk (V % tile_v != 0)."""
+    from vqa_tpu.ops.pallas.vocab_topk import vocab_topk_lse
+    rng = np.random.default_rng(1)
+    R, H, V, k = 64, 32, 1000, 3
+    h = jnp.asarray(rng.standard_normal((R, H)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((H, V)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(V).astype(np.float32) * 0.1)
+    vals, idx, lse = vocab_topk_lse(h, w, b, k=k, tile_r=32, tile_v=256,
+                                    interpret=True)
+    logits = h @ w + b
+    wv, wi = jax.lax.top_k(logits, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(wv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(wi))
+    want = jax.scipy.special.logsumexp(logits, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

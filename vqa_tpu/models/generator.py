@@ -163,13 +163,18 @@ class BaseDecoder(DecoderBase):
         self.drop = nn.Dropout(self.dropout)
 
     def decode(self, v, v_mean, prev, h, *, att_cache=None, beam: int = 1,
-               deterministic: bool = True):
+               deterministic: bool = True, return_features: bool = False):
         """One step: attend with h, feed [prev; att_v] to the cell
         (generator.py:177-190).
 
         ``beam > 1``: v/att_cache are per-image [B, ...] while prev/h are
         flat [B*beam, ...] — the attention reads each image's boxes once
         for all its beams.
+
+        ``return_features``: skip the vocab projection and return the
+        pre-logit features instead — the fused vocab-head kernel
+        (ops/pallas/vocab_topk.py) consumes them together with the fcnet
+        weights (``output = feat @ w + b`` exactly).
         """
         state = h[0]
         h0 = state[0] if self.rnn_type == "LSTM" else state
@@ -187,8 +192,10 @@ class BaseDecoder(DecoderBase):
             att_v = jnp.sum(att * v, axis=1)
         state = self.rnn(state, jnp.concatenate([prev, att_v], axis=1))
         h0 = state[0] if self.rnn_type == "LSTM" else state
-        output = self.fcnet(self.drop(h0, deterministic=deterministic))
-        return [state], output, att
+        feat = self.drop(h0, deterministic=deterministic)
+        if return_features:
+            return [state], feat, att
+        return [state], self.fcnet(feat), att
 
 
 class BUTDDecoder(DecoderBase):
@@ -207,9 +214,10 @@ class BUTDDecoder(DecoderBase):
         self.drop = nn.Dropout(self.dropout)
 
     def decode(self, v, v_mean, prev, h, *, att_cache=None, beam: int = 1,
-               deterministic: bool = True):
+               deterministic: bool = True, return_features: bool = False):
         """word RNN -> h1 FC -> attention -> language RNN -> vocab logits
-        (generator.py:249-267). ``beam``: see BaseDecoder.decode."""
+        (generator.py:249-267). ``beam``/``return_features``: see
+        BaseDecoder.decode."""
         h1, h2 = h
         h2_out = h2[0] if self.rnn_type == "LSTM" else h2
         h1 = self.word_rnn(h1, jnp.concatenate([h2_out, v_mean, prev], axis=1))
@@ -229,8 +237,10 @@ class BUTDDecoder(DecoderBase):
             att_v = jnp.sum(att * v, axis=1)
         h2 = self.language_rnn(h2, jnp.concatenate([att_v, hq], axis=1))
         h2_out = h2[0] if self.rnn_type == "LSTM" else h2
-        output = self.h2_fcnet(self.drop(h2_out, deterministic=deterministic))
-        return [h1, h2], output, att
+        feat = self.drop(h2_out, deterministic=deterministic)
+        if return_features:
+            return [h1, h2], feat, att
+        return [h1, h2], self.h2_fcnet(feat), att
 
 
 def set_decoder(decoder_type: str,

@@ -149,8 +149,13 @@ class CorrelatedGraphConv(DirectedGraphConv):
                                   graph.astype(jnp.int32),
                                   bias.astype(out_self.dtype),
                                   num_labels=self.num_labels,
-                                  block_b=next(b for b in (4, 2, 1)
-                                               if feature.shape[0] % b == 0),
+                                  # f32 at D=2048 exceeds VMEM with 8-image
+                                  # blocks (measured OOM); bf16 fits
+                                  block_b=next(b for b in (
+                                      (8, 4, 2, 1)
+                                      if feature.dtype.itemsize <= 2
+                                      else (4, 2, 1))
+                                      if feature.shape[0] % b == 0),
                                   interpret=jax.default_backend() != "tpu")
             # the fused kernel does not materialize alpha; get_alpha
             # visualization uses the XLA path (GCN.__call__ routes there)

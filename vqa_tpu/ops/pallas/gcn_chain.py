@@ -7,25 +7,34 @@ One CorrelatedGraphConv layer (reference `/root/reference/modules/gcn.py:
   direction weights, and the DotProduct q/k projections) — dense MXU work
   that XLA already schedules at speed-of-light, so they stay in XLA;
 - the *graph-local chain* that follows: adjacency aggregation
-  ``adj @ proj``, the per-label bias gather-sum, the correlation
-  re-weighting ``softmax_axis1(adj @ relu(q k^T)) @ out`` — a string of
-  small batched matmuls ([N, N] x [N, D] with N = 36 objects) and
-  elementwise ops whose intermediates XLA materializes in HBM.
+  ``adj @ proj``, the per-label bias sum, the correlation re-weighting
+  ``softmax_axis1(adj @ relu(q k^T)) @ out`` — batched matmuls over tiny
+  [N, N] per-image operands (N = 36 objects) that leave the 128x128 MXU
+  ~8% occupied and latency-bound, in XLA and naive kernels alike (both
+  measured ~39-45 ms at B = 4096, PERF.md "ReGAT / GCN kernel").
 
-This kernel fuses the whole graph-local chain: per grid step it holds a
-block of ``block_b`` images in VMEM and emits the final conv output with a
-single HBM read of (out_self, proj, alpha_raw, graph) and a single write —
-no intermediate round-trips. The per-image [36, x] matmuls run on the MXU
-(M = N = 36 underfills the 128-lane array, but the chain is only ~60 GFLOP
-at B = 4096 — bandwidth, not FLOPs, is what the fusion buys back).
+The fusion trick here is **block-diagonal batching**: a grid step loads
+``block_b`` images and assembles
+
+    M   = [ blockdiag(adj_0..adj_{G-1})  |  label_counts ]   [G*N, G*N+L]
+    rhs = [ stack(proj_g) | stack(alpha_g) ]                 [G*N+L, D+N]
+          [ bias          | 0              ]
+
+so ONE MXU matmul ``M @ rhs`` yields, for every image at once, both the
+adjacency aggregation + label bias (columns :D) and the alpha propagation
+``adj @ relu(q k^T)`` (columns D:). A second block-diagonal matmul applies
+the softmaxed correlation to the aggregated features. G*N rows = 288 at
+G = 8 fill the MXU; the zero blocks waste G-fold FLOPs but the chain is
+only ~60 GFLOP at B = 4096 — occupancy, not FLOPs, is what the batching
+buys back. Everything is built as values (iota masks + lane concatenation),
+no scratch, no unaligned stores.
 
 alpha_raw = relu((f Wq + bq)(f Wk + bk)^T) is computed in XLA and passed in
-as a [B, N, N] tensor: it is 40x smaller than the pq/pk operands, so
-handing the batched q k^T matmul to XLA both shrinks the kernel's HBM reads
-and lets XLA fuse the ReLU into the GEMM epilogue.
+as a [B, N, N] tensor: it is 40x smaller than its pq/pk operands, and XLA
+fuses the ReLU into the batched GEMM epilogue.
 
-Parity: bit-comparable to the XLA chain in ops/gcn.py (same op order, f32
-accumulation); `tests/test_pallas.py::test_gcn_chain_*`.
+Parity: matches the XLA chain in ops/gcn.py (f32 accumulation);
+`tests/test_pallas.py::test_gcn_chain_*`.
 """
 
 from __future__ import annotations
@@ -35,36 +44,60 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(out_self_ref, proj_ref, alpha_ref, graph_ref, bias_ref, out_ref,
-            *, block_b: int, num_labels: int):
+            *, block_b: int, n_objs: int, num_labels: int):
+    G, N, L = block_b, n_objs, num_labels
+    D = out_self_ref.shape[-1]
     f32 = jnp.float32
-    bias = bias_ref[:].astype(f32)                       # [L, D]
-    for g in range(block_b):                             # static unroll
-        graph = graph_ref[g]                             # [N, N] int32
-        adj = (graph != 0).astype(f32)
-        # out = W_self f + adj @ (W_fold f) + sum_j bias[graph[i, j]]
-        o = out_self_ref[g].astype(f32)
-        o = o + jnp.dot(adj, proj_ref[g].astype(f32),
-                        preferred_element_type=f32)
-        for label in range(num_labels):                  # per-label bias sum
-            cnt = jnp.sum((graph == label).astype(f32), axis=1, keepdims=True)
-            o = o + cnt * bias[label][None, :]
-        # correlation: softmax over dim 1 (rows i, the reference's
-        # nn.Softmax(dim=1) quirk, gcn.py:117) of adj @ relu(q k^T)
-        a = jnp.dot(adj, alpha_ref[g].astype(f32), preferred_element_type=f32)
-        a = jax.nn.softmax(a, axis=0)                    # per-image [i, j]
-        out_ref[g] = jnp.dot(a, o, preferred_element_type=f32
-                             ).astype(out_ref.dtype)
+    mm_dtype = out_self_ref.dtype
+
+    graph2d = graph_ref[:].reshape(G * N, N)              # [GN, N] int32
+    adj2d = (graph2d != 0).astype(mm_dtype)
+
+    # same-image mask: entry (r, c) lives in image r//N == c//N
+    row_img = jax.lax.broadcasted_iota(jnp.int32, (G * N, G * N), 0) // N
+    col_img = jax.lax.broadcasted_iota(jnp.int32, (G * N, G * N), 1) // N
+    same = (row_img == col_img).astype(mm_dtype)
+
+    # blockdiag(adj): tile the local adjacency across the lane axis and
+    # zero everything off the diagonal blocks
+    bd_adj = jnp.concatenate([adj2d] * G, axis=1) * same  # [GN, GN]
+
+    # per-row label counts (bias table is shared across images, so the
+    # count columns need no block structure): counts[r, l] = #{j: g[r,j]=l}
+    counts = jnp.concatenate(
+        [jnp.sum((graph2d == l).astype(mm_dtype), axis=1, keepdims=True)
+         for l in range(L)], axis=1)                      # [GN, L]
+
+    m = jnp.concatenate([bd_adj, counts], axis=1)         # [GN, GN+L]
+    rhs_top = jnp.concatenate(
+        [proj_ref[:].reshape(G * N, D).astype(mm_dtype),
+         alpha_ref[:].reshape(G * N, N).astype(mm_dtype)], axis=1)
+    rhs_bot = jnp.concatenate(
+        [bias_ref[:].astype(mm_dtype),
+         jnp.zeros((L, N), mm_dtype)], axis=1)
+    rhs = jnp.concatenate([rhs_top, rhs_bot], axis=0)     # [GN+L, D+N]
+
+    big = jnp.dot(m, rhs, preferred_element_type=f32)     # [GN, D+N]
+    o_stack = out_self_ref[:].reshape(G * N, D).astype(f32) + big[:, :D]
+
+    # softmax over dim 1 of [B, i, j] (rows i within each image — the
+    # reference's nn.Softmax(dim=1) quirk, gcn.py:117)
+    aa = big[:, D:].reshape(G, N, N)
+    aa = jax.nn.softmax(aa, axis=1).reshape(G * N, N).astype(mm_dtype)
+    bd_aa = jnp.concatenate([aa] * G, axis=1) * same      # [GN, GN]
+
+    out = jnp.dot(bd_aa, o_stack.astype(mm_dtype), preferred_element_type=f32)
+    out_ref[:] = out.reshape(G, N, D).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_labels", "block_b", "interpret"))
 def gcn_chain_fused(out_self: jax.Array, proj: jax.Array,
                     alpha_raw: jax.Array, graph: jax.Array, bias: jax.Array,
-                    num_labels: int = 12, block_b: int = 4,
+                    num_labels: int = 12, block_b: int = 8,
                     interpret: bool = False) -> jax.Array:
     """Fused graph-local chain of one CorrelatedGraphConv layer.
 
@@ -77,7 +110,7 @@ def gcn_chain_fused(out_self: jax.Array, proj: jax.Array,
     """
     B, N, D = out_self.shape
     assert B % block_b == 0, f"batch {B} not divisible by block {block_b}"
-    kernel = functools.partial(_kernel, block_b=block_b,
+    kernel = functools.partial(_kernel, block_b=block_b, n_objs=N,
                                num_labels=num_labels)
     grid = (B // block_b,)
     return pl.pallas_call(
@@ -93,9 +126,10 @@ def gcn_chain_fused(out_self: jax.Array, proj: jax.Array,
         out_specs=pl.BlockSpec((block_b, N, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, D), out_self.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * N * (2 * D + N),
-            bytes_accessed=(2 * B * N * D + B * N * D) *
-            out_self.dtype.itemsize + 2 * B * N * N * 4,
+            flops=2 * B * N * (block_b * N + num_labels) * (D + N)
+            + 2 * B * N * block_b * N * D,
+            bytes_accessed=3 * B * N * D * out_self.dtype.itemsize
+            + 2 * B * N * N * 4,
             transcendentals=B * N * N,
         ),
         interpret=interpret,

@@ -30,13 +30,19 @@ NEG_INF = -1e9
 
 
 def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
-                     legacy_logit_scores: bool = False):
+                     legacy_logit_scores: bool = False,
+                     fused_vocab: bool = False):
     """Build a jitted ``(params, batch) -> (tokens, scores)`` beam search.
 
     tokens: [B, k, c_len] int32 (beams sorted best-first);
     scores: [B, k] length-normalized log-probs.
     The model must have a generator; the encoder embeds previous tokens
     (mirrors tools/caption.py:93 using ``encoder.embedding``).
+
+    ``fused_vocab``: route the per-step vocab head through the fused Pallas
+    kernel (GEMM + running top-k + online logsumexp, never materializing the
+    [B*k, ntoken] logits — ops/pallas/vocab_topk.py). Same results as the
+    XLA path (pinned by tests/test_tools.py); TPU-only fast path.
     """
     generator = model.generator
     assert generator is not None, "model has no caption generator"
@@ -46,14 +52,22 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
             return mdl.generator.project_v(v)
         return model.apply({"params": params}, v, method=fn)
 
-    def _decode_step(params, v, v_mean, prev_tokens, h, att_cache):
+    def _decode_step(params, v, v_mean, prev_tokens, h, att_cache,
+                     return_features=False):
         def fn(mdl, v, v_mean, prev_tokens, h, att_cache):
             prev = mdl.encoder.embed(prev_tokens)
             return mdl.generator.decode(v=v, v_mean=v_mean, prev=prev, h=h,
                                         att_cache=att_cache, beam=k,
-                                        deterministic=True)
+                                        deterministic=True,
+                                        return_features=return_features)
         return model.apply({"params": params}, v, v_mean, prev_tokens, h,
                            att_cache, method=fn)
+
+    def _vocab_params(params):
+        """(w [H, V], b [V]) of the generator's vocab projection."""
+        gp = params["generator"]
+        head = gp["h2_fcnet"] if "h2_fcnet" in gp else gp["fcnet"]
+        return head["w"], head["b"]
 
     @jax.jit
     def beam_search(params, batch) -> Tuple[jax.Array, jax.Array]:
@@ -85,21 +99,34 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
         def body(carry, t):
             tokens, logp, length, finished, h = carry
             prev = tokens[:, :, t].reshape(B * k)
-            h, logits, _ = _decode_step(params, v, v_mean_b, prev, h,
-                                        att_cache)
-            V = logits.shape[-1]
             # Candidate shrink: the global top-k over k*V candidates lies in
             # the union of each beam's top-k, and per-beam top-k of
             # log_softmax == top-k of raw logits (a monotone per-row shift
             # by logsumexp) — so one [B*k, V] top_k + one logsumexp replace
             # materializing and ranking the full [B, k*V] normalized array.
-            top_val, top_word = jax.lax.top_k(logits, k)   # [B*k, k]
-            if legacy_logit_scores:
-                step_scores = top_val
+            if fused_vocab:
+                # fused GEMM + top-k + logsumexp; [B*k, V] never materializes
+                from vqa_tpu.ops.pallas.vocab_topk import vocab_topk_lse
+                h, feat, _ = _decode_step(params, v, v_mean_b, prev, h,
+                                          att_cache, return_features=True)
+                vw, vb = _vocab_params(params)
+                R = feat.shape[0]
+                tile_r = next(t_ for t_ in (1024, 512, 256, 128, 64, 32,
+                                            16, 8, 4, 2, 1) if R % t_ == 0)
+                top_val, top_word, lse = vocab_topk_lse(
+                    feat, vw.astype(feat.dtype), vb, k=k, tile_r=tile_r,
+                    interpret=jax.default_backend() != "tpu")
+                step_scores = top_val if legacy_logit_scores else top_val - lse
             else:
-                lse = jax.scipy.special.logsumexp(logits, axis=-1,
-                                                  keepdims=True)
-                step_scores = top_val - lse
+                h, logits, _ = _decode_step(params, v, v_mean_b, prev, h,
+                                            att_cache)
+                top_val, top_word = jax.lax.top_k(logits, k)   # [B*k, k]
+                if legacy_logit_scores:
+                    step_scores = top_val
+                else:
+                    lse = jax.scipy.special.logsumexp(logits, axis=-1,
+                                                      keepdims=True)
+                    step_scores = top_val - lse
             step_scores = step_scores.reshape(B, k, k)
             top_word = top_word.reshape(B, k, k)
             # finished beams: continue only via <end> with zero added score
