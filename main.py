@@ -239,8 +239,11 @@ def main():
         print("load parameters: ", load_model)
         val_loader = make_loader(args, vocab, ans_list, dataset_type,
                                  is_val=True)
+        # --use_pallas also routes the beam vocab head through the fused
+        # kernel (GEMM + running top-k + online logsumexp, vocab_topk.py)
         beam = make_beam_search(model, k=3, c_len=args.c_len,
-                                start_id=vocab.start, end_id=vocab.end)
+                                start_id=vocab.start, end_id=vocab.end,
+                                fused_vocab=getattr(args, "use_pallas", False))
         with open(os.path.join(save_path, "decode.txt"), "w") as f:
             for batch in val_loader:
                 nvalid = int(batch.pop("nvalid"))

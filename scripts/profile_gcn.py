@@ -100,7 +100,10 @@ def main():
             return (o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-6)).astype(c.dtype)
         bench(gemms4, f2, tuple(ws), name=f"4x [B*N,{D}]@[{D},{D}] GEMMs [{tag}]")
 
-        # graph-local chain: XLA vs kernel at block sizes
+        # graph-local chain: XLA vs fused kernel, both consuming a
+        # precomputed alpha_raw (the similarity_parts identity upstream
+        # shrinks alpha's cost; an in-kernel qk variant measured ~3x
+        # slower than XLA's batched einsum — see gcn_chain.py docstring)
         araw = jax.device_put(
             np.maximum(rng.standard_normal((B, N, N), dtype=np.float32), 0)
             .astype(dtype))

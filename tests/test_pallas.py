@@ -179,19 +179,24 @@ def test_gru_v3_matches_scan(rng):
 
 
 def test_gcn_chain_fused_matches_xla(rng):
-    """Fused graph-local chain == the XLA chain in ops/gcn.py, f32 exact-ish."""
+    """Fused graph-local chain == the XLA chain in ops/gcn.py, f32 exact-ish.
+    alpha_raw is built the way the module does it (similarity_parts form:
+    relu(fc f^T + u_i + w_j))."""
     from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
     from vqa_tpu.ops.gcn import label_bias_sum
     B, N, D, L = 8, 36, 64, 12
     out_self = rng.standard_normal((B, N, D)).astype(np.float32)
     proj = rng.standard_normal((B, N, D)).astype(np.float32)
     graph = rng.integers(0, L, size=(B, N, N)).astype(np.int32)
-    pq = rng.standard_normal((B, N, 16)).astype(np.float32)
-    pk = rng.standard_normal((B, N, 16)).astype(np.float32)
-    alpha_raw = np.maximum(np.einsum("bid,bjd->bij", pq, pk), 0.0)
+    fc = rng.standard_normal((B, N, D)).astype(np.float32)
+    f = rng.standard_normal((B, N, D)).astype(np.float32)
+    u = rng.standard_normal((B, N)).astype(np.float32)
+    w = rng.standard_normal((B, N)).astype(np.float32)
     bias = (rng.standard_normal((L, D)) * 0.1).astype(np.float32)
 
-    # XLA reference: exactly the CorrelatedGraphConv chain
+    alpha_raw = np.maximum(
+        np.einsum("bid,bjd->bij", fc, f)
+        + u[:, :, None] + w[:, None, :], 0.0).astype(np.float32)
     adj = (graph != 0).astype(np.float32)
     out = out_self + jnp.matmul(adj, proj)
     out = out + label_bias_sum(jnp.asarray(graph), jnp.asarray(bias), L)

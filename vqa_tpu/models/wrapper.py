@@ -47,13 +47,18 @@ def compute_score(predict: jax.Array, target: jax.Array,
     return scores
 
 
+def _at_least_f32(x: jax.Array) -> jax.Array:
+    """Upcast bf16/f16 to f32 but keep f64 (the x64 parity tests) intact."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def instance_bce_with_logits(predict: jax.Array, target: jax.Array) -> jax.Array:
     """Mean BCE-with-logits x num_answers (wrapper.py:25-29)."""
-    # Loss math always in f32: under bf16 mixed-precision training the
+    # Loss math in >=f32: under bf16 mixed-precision training the
     # logits arrive as bf16 and log1p/exp would lose the low-order bits
     # that the optimizer needs (see PERF.md "bf16 training").
-    predict = predict.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    predict = _at_least_f32(predict)
+    target = _at_least_f32(target)
     # log(1 + exp(-|x|)) + max(x, 0) - x * z  — numerically stable BCE.
     loss = jnp.maximum(predict, 0) - predict * target + jnp.log1p(
         jnp.exp(-jnp.abs(predict)))
@@ -66,7 +71,7 @@ def ce_for_language_model(predict: jax.Array, target: jax.Array,
 
     predict: [B, T, ntoken]; target: [B, T] int; mask: [B, T] {0,1}.
     """
-    logp = jax.nn.log_softmax(predict.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_at_least_f32(predict), axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -107,7 +112,7 @@ class VQAModel(nn.Module):
         log_vars = self.log_vars if self.mtl_active else None
 
         if predict is not None:
-            target = batch["a"].astype(jnp.float32)
+            target = _at_least_f32(batch["a"])
             loss_vqa = instance_bce_with_logits(predict, target)
             writes["train/loss"] = loss_vqa
             writes["train/score"] = jnp.sum(compute_score(predict, target))
@@ -132,7 +137,7 @@ class VQAModel(nn.Module):
                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Eval path: (scores [B, ans], labels [B], target [B, ans])
         (wrapper.py:113-118)."""
-        target = batch["a"].astype(jnp.float32)
+        target = _at_least_f32(batch["a"])
         embed = self.encoder(batch, deterministic=True)
         predict = self.predictor(embed, deterministic=True)
         score, label = compute_score(predict, target, get_label=True)

@@ -142,9 +142,16 @@ class CorrelatedGraphConv(DirectedGraphConv):
             from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
             out_self, proj, bias = self.conv(feature, graph,
                                              return_parts=True)
+            # one [*, D]@[D, D] GEMM instead of two out_dim projections:
+            # alpha = relu((f C) f^T + u_i + w_j); the tiny [36, 36]
+            # contraction stays in XLA (batched einsum — an in-kernel
+            # version forces transpose relayouts and measures ~3x slower)
+            fc, u, w = DotProduct(self.out_dim,
+                                  name="dot_product").similarity_parts(feature)
             alpha_raw = jnp.maximum(
-                DotProduct(self.out_dim, name="dot_product")(feature, feature),
-                0.0)                                          # gcn.py:124
+                jnp.einsum("bik,bjk->bij", fc, feature,
+                           preferred_element_type=feature.dtype)
+                + u[:, :, None] + w[:, None, :], 0.0)         # gcn.py:124
             out = gcn_chain_fused(out_self, proj, alpha_raw,
                                   graph.astype(jnp.int32),
                                   bias.astype(out_self.dtype),

@@ -145,3 +145,29 @@ class DotProduct(nn.Module):
         pa = jnp.matmul(a, wa.astype(a.dtype)) + ba.astype(a.dtype)
         pb = jnp.matmul(b, wb.astype(b.dtype)) + bb.astype(b.dtype)
         return jnp.einsum("bik,bjk->bij", pa, pb, preferred_element_type=a.dtype)
+
+    @nn.compact
+    def similarity_parts(self, a: jax.Array):
+        """Self-similarity decomposition: ``alpha = DotProduct(a, a)`` as
+
+            alpha_ij = (a C) a^T |_ij + u_i + w_j
+            C = Wa Wb^T,  u = a (Wa bb) + ba.bb,  w = a (Wb ba)
+
+        (exact algebra). This needs ONE [*, in]@[in, in] GEMM (a C) instead
+        of the two out_dim projections — the GCN inference fast path feeds
+        (a C, a, u, w) to the fused chain kernel which finishes the tiny
+        per-image contraction on-chip (ops/pallas/gcn_chain.py). C costs one
+        [in, out]@[out, in] weight-side matmul per call (negligible next to
+        the batch GEMMs). Declares the same parameters as ``__call__``.
+        Returns (ac [B, n, in], u [B, n], w [B, n]).
+        """
+        a_dim = a.shape[-1]
+        wa = self.param("wa", torch_linear_uniform(a_dim), (a_dim, self.out_dim))
+        ba = self.param("ba", torch_linear_uniform(a_dim), (self.out_dim,))
+        wb = self.param("wb", torch_linear_uniform(a_dim), (a_dim, self.out_dim))
+        bb = self.param("bb", torch_linear_uniform(a_dim), (self.out_dim,))
+        c = jnp.matmul(wa, wb.T, preferred_element_type=jnp.float32)
+        ac = jnp.matmul(a, c.astype(a.dtype), preferred_element_type=a.dtype)
+        u = jnp.matmul(a, (wa @ bb).astype(a.dtype)) + jnp.dot(ba, bb).astype(a.dtype)
+        w = jnp.matmul(a, (wb @ ba).astype(a.dtype))
+        return ac, u, w

@@ -31,7 +31,11 @@ no scratch, no unaligned stores.
 
 alpha_raw = relu((f Wq + bq)(f Wk + bk)^T) is computed in XLA and passed in
 as a [B, N, N] tensor: it is 40x smaller than its pq/pk operands, and XLA
-fuses the ReLU into the batched GEMM epilogue.
+fuses the ReLU into the batched GEMM epilogue. (The caller shrinks its cost
+with the ``DotProduct.similarity_parts`` identity — one [*, D]@[D, D] GEMM
+instead of two out_dim projections; see ops/gcn.py. An in-kernel variant
+that also fused this contraction was measured ~3x slower than XLA's batched
+einsum: contracting on lane dims forces a per-block transpose relayout.)
 
 Parity: matches the XLA chain in ops/gcn.py (f32 accumulation);
 `tests/test_pallas.py::test_gcn_chain_*`.
