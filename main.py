@@ -71,6 +71,7 @@ def build_model(args, vocab: Vocab, ans_list):
         use_mtl=args.use_mtl,
         frozen_embedding=frozen,
         use_pallas=getattr(args, "use_pallas", False),
+        use_int8=getattr(args, "use_int8", False),
     )
 
 

@@ -1,0 +1,88 @@
+"""Flagship forward: bf16 vs int8-fed v-projection, relay cost canceled.
+
+Back-to-back comparison of the Up-Down inference forward (B=16384,
+use_pallas GRU) with the dense bf16 feed vs the quantized int8 feed
+(--use_int8 path: the dominant v-projection GEMM runs int8 on the MXU).
+Same methodology as profile_gcn.py: REPS iterations inside one jit with a
+data dependency (predicted ids perturb the next iteration's question
+tokens), per-call ms = (t(N)-t(1))/(N-1).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_int8_model.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.models.wrapper import set_model
+from vqa_tpu.data.shards import quantize_features
+
+B, NOBJ, VDIM, QLEN = 16384, 36, 2048, 10
+NTOKEN, ANS = 20000, 3129
+WARMUP, ITERS, REPS = 1, 3, 6
+
+
+def _timed(jitted, *args):
+    for _ in range(WARMUP):
+        np.asarray(jitted(*args))
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        np.asarray(jitted(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench(model, params, batch, name):
+    # params/batch are jit ARGUMENTS (closures would bake them into the
+    # lowered graph as multi-GB constants and stall the relay compile)
+    @jax.jit
+    def fn(c, params, batch):
+        def step(i, c):
+            b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
+            predict, _ = model.apply({"params": params}, b)
+            return jnp.argmax(predict, axis=1).astype(jnp.int32)
+        return jnp.max(jax.lax.fori_loop(0, REPS, step, c))
+
+    # One compile per config: REPS chained forwards per fetch, so the
+    # relay's fixed per-call cost (~30 ms) amortizes to ~30/REPS ms/call —
+    # a common-mode residue identical for both configs being compared.
+    c = jnp.zeros((B,), jnp.int32)
+    tn = _timed(fn, c, params, batch)
+    ms = 1e3 * tn / REPS
+    print(f"{name:40s} {ms:8.2f} ms/call   ({B / (ms / 1e3):,.0f} q/s)",
+          flush=True)
+    return ms
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, NOBJ, VDIM), dtype=np.float32)
+    q8, scales = quantize_features(x)
+    q_tok = jnp.asarray(rng.integers(0, NTOKEN, (B, QLEN)).astype(np.int32))
+
+    kw = dict(encoder_type="base", predictor_type="base", decoder_type="none",
+              ntoken=NTOKEN, v_dim=VDIM, embed_dim=300, hidden_dim=1024,
+              ans_dim=ANS, dropout=0.2, att_type="new", use_pallas=True)
+    m_bf = set_model(**kw)
+    m_q8 = set_model(use_int8=True, **kw)
+
+    batch_bf = {"img": jnp.asarray(x).astype(jnp.bfloat16), "q": q_tok}
+    batch_q8 = {"img_q": jnp.asarray(q8),
+                "img_scale": jnp.asarray(scales).astype(jnp.bfloat16),
+                "q": q_tok}
+    small = {k: v[:32] for k, v in batch_q8.items()}
+    params = m_q8.init(jax.random.key(0), small)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+
+    bench(m_bf, params, batch_bf, "bf16 feed, bf16 GEMMs")
+    bench(m_q8, params, batch_q8, "int8 feed, int8 v-projection")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,10 @@ def parse_args(argv=None):
     parser.add_argument("--use_pallas", type=bool, default=False,
                         help="route eligible ops through fused Pallas kernels "
                              "(bf16 inference fast path)")
+    parser.add_argument("--use_int8", type=bool, default=False,
+                        help="run the attention v-projection as an int8 MXU "
+                             "GEMM fed by the quantized feature feed "
+                             "(inference-only; requires --feature_dtype int8)")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
     parser.add_argument("--train_dtype", type=str, default="bfloat16",

@@ -76,6 +76,10 @@ class BaseEncoder(nn.Module):
     att_dropout: float = 0.2
     frozen_embedding: Optional[np.ndarray] = None
     use_pallas: bool = False   # fused Pallas question-GRU (opt-in fast path)
+    # int8 MXU attention v-projection, fed by the quantized feature feed
+    # (img_q/img_scale batches). Inference-only: weight quantization rounds,
+    # so the training path keeps the differentiable dequant+f32 GEMM.
+    use_int8: bool = False
 
     def setup(self):
         self.embedding = WordEmbedding(self.ntoken, self.embed_dim,
@@ -103,10 +107,12 @@ class BaseEncoder(nn.Module):
     def _visual_input(batch: Dict[str, jax.Array]) -> jax.Array:
         """Visual features, with on-device int8 dequantization when the feed
         ships quantized payloads ('img_q' int8 + 'img_scale' per-box) —
-        halves host->HBM bytes vs f16 (see data/shards.py)."""
+        halves host->HBM bytes vs f16 (see data/shards.py). Dequantizes in
+        the *scale's* dtype, so a bf16-scaled feed yields bf16 features (the
+        int8 values themselves are exact in bf16)."""
         if "img_q" in batch:
-            q = batch["img_q"].astype(jnp.float32)
-            return q * batch["img_scale"][..., None].astype(jnp.float32)
+            s = batch["img_scale"]
+            return batch["img_q"].astype(s.dtype) * s[..., None]
         return batch["img"]
 
     def base_forward(self, batch: Dict[str, jax.Array], *,
@@ -114,7 +120,13 @@ class BaseEncoder(nn.Module):
         v = self._visual_input(batch)
         q = self.embedding(batch["q"])                 # [B, q_len, embed]
         q = self.q_rnn(q, deterministic=deterministic)  # [B, hidden] (last padded step)
-        v_att = self.attention(v, q, deterministic=deterministic)  # [B, objs, 1]
+        v_cache = None
+        if self.use_int8 and "img_q" in batch and deterministic:
+            v_cache = self.attention.project_v_int8(
+                batch["img_q"], batch["img_scale"],
+                q_dim=q.shape[-1]).astype(v.dtype)
+        v_att = self.attention(v, q, deterministic=deterministic,
+                               v_cache=v_cache)        # [B, objs, 1]
         v = v_att * v
         q = self.q_net(q, deterministic=deterministic)
         out = {"v": v, "q": q, "v_att": v_att}
@@ -148,12 +160,14 @@ class RelationEncoder(BaseEncoder):
                                         conv_type=self.conv_type,
                                         dropout=self.dropout,
                                         use_pallas=self.use_pallas,
+                                        use_int8=self.use_int8,
                                         name="implicit_encoder")
         if self.use_spa:
             self.spatial_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
                                        conv_type=self.conv_type,
                                        dropout=self.dropout,
                                        use_pallas=self.use_pallas,
+                                       use_int8=self.use_int8,
                                        name="spatial_encoder")
         if self.use_sem:
             # Semantic-relation branch: the graph itself must come from an
@@ -166,6 +180,7 @@ class RelationEncoder(BaseEncoder):
                                         conv_type=self.conv_type,
                                         dropout=self.dropout,
                                         use_pallas=self.use_pallas,
+                                        use_int8=self.use_int8,
                                         name="semantic_encoder")
 
     def __call__(self, batch, graph_alpha: bool = False, *,
@@ -221,7 +236,8 @@ def set_encoder(encoder_type: str,
                 use_imp: bool = False,
                 use_sem: bool = False,
                 frozen_embedding: Optional[np.ndarray] = None,
-                use_pallas: bool = False) -> nn.Module:
+                use_pallas: bool = False,
+                use_int8: bool = False) -> nn.Module:
     """String-keyed encoder factory mirroring encoder.py:10-58.
 
     ``frozen_embedding`` plays the role of the reference's
@@ -234,7 +250,8 @@ def set_encoder(encoder_type: str,
         return BaseEncoder(hidden_dim=hidden_dim, dropout=dropout,
                            rnn_type=rnn_type, rnn_layer=rnn_layer,
                            att_type=att_type, att_dropout=att_dropout,
-                           use_pallas=use_pallas, **common)
+                           use_pallas=use_pallas, use_int8=use_int8,
+                           **common)
     if encoder_type == "relation":
         return RelationEncoder(hidden_dim=hidden_dim, dropout=dropout,
                                rnn_type=rnn_type, rnn_layer=rnn_layer,
@@ -243,7 +260,8 @@ def set_encoder(encoder_type: str,
                                conv_layer=conv_layer, v_dim=v_dim,
                                use_spa=bool(use_spa), use_imp=bool(use_imp),
                                use_sem=bool(use_sem),
-                               use_pallas=use_pallas, **common)
+                               use_pallas=use_pallas, use_int8=use_int8,
+                               **common)
     if encoder_type == "cap":
         return CaptionEncoder(**common)
     raise ValueError(f"unknown encoder_type: {encoder_type}")

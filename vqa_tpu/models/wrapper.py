@@ -180,7 +180,8 @@ def set_model(encoder_type: str = "base",
               use_sem: bool = False,
               use_mtl: bool = False,
               frozen_embedding: Optional[np.ndarray] = None,
-              use_pallas: bool = False) -> VQAModel:
+              use_pallas: bool = False,
+              use_int8: bool = False) -> VQAModel:
     """Single model-construction factory mirroring wrapper.py:125-191.
 
     The reference's ``decoder_device`` two-device placement (wrapper.py:148-150)
@@ -194,6 +195,7 @@ def set_model(encoder_type: str = "base",
         att_dropout=att_dropout, conv_type=conv_type, conv_layer=conv_layer,
         use_spa=use_spa, use_imp=use_imp, use_sem=use_sem,
         frozen_embedding=frozen_embedding, use_pallas=use_pallas,
+        use_int8=use_int8,
     )
     predictor = set_predictor(
         predictor_type=predictor_type, hidden_dim=hidden_dim, ans_dim=ans_dim,

@@ -51,6 +51,13 @@ class ConcatAttention(nn.Module):
         return self.fc0(v, in_dim=v.shape[-1] + q_dim, row_start=0,
                         add_bias=False)
 
+    def project_v_int8(self, img_q: jax.Array, img_scale: jax.Array,
+                       q_dim: int) -> jax.Array:
+        """``project_v`` consuming the quantized feed directly: the v-side
+        rows of the concat kernel run as one int8 MXU GEMM (ops/quant.py)."""
+        return self.fc0(img_q, in_dim=img_q.shape[-1] + q_dim, row_start=0,
+                        add_bias=False, x_scale=img_scale)
+
     def __call__(self, v: jax.Array, q: jax.Array, *,
                  deterministic: bool = True,
                  v_cache: jax.Array | None = None) -> jax.Array:
@@ -91,6 +98,14 @@ class MultiplyAttention(nn.Module):
     def project_v(self, v: jax.Array, q_dim: int = 0) -> jax.Array:
         del q_dim
         return self.W_v(v)                                   # [batch, k, hidden]
+
+    def project_v_int8(self, img_q: jax.Array, img_scale: jax.Array,
+                       q_dim: int = 0) -> jax.Array:
+        """``project_v`` consuming the quantized feed directly — the
+        dominant forward GEMM (~2.5 of ~3.9 TFLOP/batch) runs int8 on the
+        MXU at ~1.8x the bf16 rate (ops/quant.py, PERF.md "int8 MXU")."""
+        del q_dim
+        return self.W_v(img_q, x_scale=img_scale)
 
     def __call__(self, v: jax.Array, q: jax.Array, *,
                  deterministic: bool = True,

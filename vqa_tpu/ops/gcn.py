@@ -83,17 +83,28 @@ class DirectedGraphConv(nn.Module):
     num_labels: int = 12
     dir_num: int = 3
     use_pallas: bool = False
+    # int8 MXU projections at inference: the layer input is dynamically
+    # row-quantized ONCE and contracted by all big GEMMs (w_self, folded
+    # directions, correlation) — the quantize pass amortizes (ops/quant.py).
+    use_int8: bool = False
 
     @nn.compact
     def conv(self, feature: jax.Array, graph: jax.Array,
-             return_parts: bool = False):
+             return_parts: bool = False, fq=None):
         in_dim = feature.shape[-1]
+
+        def project(x, w):
+            if fq is not None:
+                from vqa_tpu.ops.quant import int8_dot
+                return int8_dot(fq[0], fq[1], w).astype(x.dtype)
+            return jnp.matmul(x, w.astype(x.dtype),
+                              preferred_element_type=x.dtype)
+
         # torch nn.Linear(bias=False) default init (reset_parameters only
         # touches the label bias, gcn.py:69-76).
         w_self = self.param(f"w{self.dir_num - 1}", torch_linear_uniform(in_dim),
                             (in_dim, self.out_dim))
-        out = jnp.matmul(feature, w_self.astype(feature.dtype),
-                         preferred_element_type=feature.dtype)
+        out = project(feature, w_self)
         # All direction projections propagate through the SAME adjacency
         # (reference gcn.py:93-107), so sum_i adj@(f@Wi) == adj@(f@sum(Wi)):
         # folding the direction weights turns dir_num-1 big GEMMs into one
@@ -107,8 +118,7 @@ class DirectedGraphConv(nn.Module):
         proj = None
         if ws:
             w_fold = sum(ws[1:], start=ws[0])
-            proj = jnp.matmul(feature, w_fold.astype(feature.dtype),
-                              preferred_element_type=feature.dtype)
+            proj = project(feature, w_fold)
         if return_parts:
             # pieces for the fused Pallas chain (ops/pallas/gcn_chain.py):
             # the big MXU GEMMs stay here in XLA, the graph-local chain fuses
@@ -121,7 +131,11 @@ class DirectedGraphConv(nn.Module):
 
     def __call__(self, feature: jax.Array, graph: jax.Array,
                  *, deterministic: bool = True) -> jax.Array:
-        return self.conv(feature, graph)
+        fq = None
+        if self.use_int8 and deterministic:
+            from vqa_tpu.ops.quant import quantize_rows
+            fq = quantize_rows(feature)
+        return self.conv(feature, graph, fq=fq)
 
 
 class CorrelatedGraphConv(DirectedGraphConv):
@@ -138,16 +152,22 @@ class CorrelatedGraphConv(DirectedGraphConv):
     def attend(self, feature: jax.Array, graph: jax.Array, *,
                deterministic: bool = True,
                need_alpha: bool = False) -> Tuple[jax.Array, jax.Array]:
+        # One dynamic row-quantization of the layer input serves every big
+        # GEMM below (inference-only; training differentiates the f32 path).
+        fq = None
+        if self.use_int8 and deterministic:
+            from vqa_tpu.ops.quant import quantize_rows
+            fq = quantize_rows(feature)
         if self._pallas_eligible(feature, deterministic) and not need_alpha:
             from vqa_tpu.ops.pallas.gcn_chain import gcn_chain_fused
             out_self, proj, bias = self.conv(feature, graph,
-                                             return_parts=True)
+                                             return_parts=True, fq=fq)
             # one [*, D]@[D, D] GEMM instead of two out_dim projections:
             # alpha = relu((f C) f^T + u_i + w_j); the tiny [36, 36]
             # contraction stays in XLA (batched einsum — an in-kernel
             # version forces transpose relayouts and measures ~3x slower)
-            fc, u, w = DotProduct(self.out_dim,
-                                  name="dot_product").similarity_parts(feature)
+            fc, u, w = DotProduct(self.out_dim, name="dot_product"
+                                  ).similarity_parts(feature, aq=fq)
             alpha_raw = jnp.maximum(
                 jnp.einsum("bik,bjk->bij", fc, feature,
                            preferred_element_type=feature.dtype)
@@ -168,8 +188,20 @@ class CorrelatedGraphConv(DirectedGraphConv):
             # visualization uses the XLA path (GCN.__call__ routes there)
             return out, None
         adj = (graph != 0).astype(feature.dtype)
-        out = self.conv(feature, graph)
-        alpha = DotProduct(self.out_dim, name="dot_product")(feature, feature)
+        out = self.conv(feature, graph, fq=fq)
+        if deterministic:
+            # similarity_parts form: one [*, D]@[D, D] GEMM instead of the
+            # two out_dim projections of DotProduct.__call__ (exact algebra;
+            # training keeps the reference-shaped path so the f64 trajectory
+            # parity vs torch is bit-compatible).
+            fc, u, w = DotProduct(self.out_dim, name="dot_product"
+                                  ).similarity_parts(feature, aq=fq)
+            alpha = (jnp.einsum("bik,bjk->bij", fc, feature,
+                                preferred_element_type=feature.dtype)
+                     + u[:, :, None] + w[:, None, :])
+        else:
+            alpha = DotProduct(self.out_dim, name="dot_product")(feature,
+                                                                 feature)
         alpha = jnp.maximum(alpha, 0.0)                       # gcn.py:124
         alpha = jnp.matmul(adj, alpha, preferred_element_type=alpha.dtype)
         alpha = jax.nn.softmax(alpha, axis=1)                 # dim=1, gcn.py:117
@@ -200,12 +232,13 @@ class GCN(nn.Module):
     conv_type: str = "corr"
     dropout: float = 0.5
     use_pallas: bool = False   # fused chain kernel at inference (corr only)
+    use_int8: bool = False     # int8 MXU projections at inference
 
     @nn.compact
     def __call__(self, feature: jax.Array, graph: jax.Array,
                  get_alpha: bool = False, *, deterministic: bool = True):
         conv_cls = get_graph_conv(self.conv_type)
-        extra = ({"use_pallas": self.use_pallas}
+        extra = ({"use_pallas": self.use_pallas, "use_int8": self.use_int8}
                  if self.conv_type != "base" else {})
         alphas = []
         for i in range(self.conv_layer):

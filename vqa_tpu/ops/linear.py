@@ -65,7 +65,8 @@ class WNDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, in_dim: Optional[int] = None,
-                 row_start: int = 0, add_bias: bool = True) -> jax.Array:
+                 row_start: int = 0, add_bias: bool = True,
+                 x_scale: Optional[jax.Array] = None) -> jax.Array:
         full_dim = in_dim if in_dim is not None else x.shape[-1]
         v = self.param("v", torch_linear_uniform(full_dim),
                        (full_dim, self.features))
@@ -74,8 +75,18 @@ class WNDense(nn.Module):
         scale = g * jax.lax.rsqrt(jnp.sum(v * v))
         rows = v if x.shape[-1] == full_dim else \
             v[row_start:row_start + x.shape[-1]]
-        kernel = (scale * rows).astype(self.dtype or x.dtype)
-        y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
+        if x.dtype == jnp.int8:
+            # int8 MXU fast path: x is a pre-quantized activation with
+            # per-row scales (the int8 feature feed); the effective
+            # weight-normed kernel is quantized per output channel and both
+            # scales fold into the GEMM epilogue (ops/quant.py).
+            assert x_scale is not None, "int8 input requires x_scale"
+            from vqa_tpu.ops.quant import int8_dot
+            y = int8_dot(x, x_scale, scale * rows)
+            y = y.astype(self.dtype) if self.dtype is not None else y
+        else:
+            kernel = (scale * rows).astype(self.dtype or x.dtype)
+            y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
         if self.use_bias:
             b = self.param("b", torch_linear_uniform(full_dim),
                            (self.features,))
@@ -99,11 +110,14 @@ class FCNet(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 x_scale: Optional[jax.Array] = None) -> jax.Array:
+        # x_scale: per-row dequant scales when x is an int8 activation
+        # (consumed by the first layer's WNDense int8 path).
         if self.layer == 1 or self.mid_dim == 0:
-            x = WNDense(self.out_dim, name="fc0")(x)
+            x = WNDense(self.out_dim, name="fc0")(x, x_scale=x_scale)
             return nn.relu(x)
-        x = nn.relu(WNDense(self.mid_dim, name="fc0")(x))
+        x = nn.relu(WNDense(self.mid_dim, name="fc0")(x, x_scale=x_scale))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.layer - 2):
             x = nn.relu(WNDense(self.mid_dim, name=f"fc{i + 1}")(x))
@@ -147,7 +161,7 @@ class DotProduct(nn.Module):
         return jnp.einsum("bik,bjk->bij", pa, pb, preferred_element_type=a.dtype)
 
     @nn.compact
-    def similarity_parts(self, a: jax.Array):
+    def similarity_parts(self, a: jax.Array, aq=None):
         """Self-similarity decomposition: ``alpha = DotProduct(a, a)`` as
 
             alpha_ij = (a C) a^T |_ij + u_i + w_j
@@ -159,6 +173,9 @@ class DotProduct(nn.Module):
         per-image contraction on-chip (ops/pallas/gcn_chain.py). C costs one
         [in, out]@[out, in] weight-side matmul per call (negligible next to
         the batch GEMMs). Declares the same parameters as ``__call__``.
+
+        ``aq``: optional pre-quantized (a_q int8, a_scale) of ``a`` — the
+        big ``a C`` GEMM then runs int8 on the MXU (ops/quant.py).
         Returns (ac [B, n, in], u [B, n], w [B, n]).
         """
         a_dim = a.shape[-1]
@@ -167,7 +184,11 @@ class DotProduct(nn.Module):
         wb = self.param("wb", torch_linear_uniform(a_dim), (a_dim, self.out_dim))
         bb = self.param("bb", torch_linear_uniform(a_dim), (self.out_dim,))
         c = jnp.matmul(wa, wb.T, preferred_element_type=jnp.float32)
-        ac = jnp.matmul(a, c.astype(a.dtype), preferred_element_type=a.dtype)
+        if aq is not None:
+            from vqa_tpu.ops.quant import int8_dot
+            ac = int8_dot(aq[0], aq[1], c).astype(a.dtype)
+        else:
+            ac = jnp.matmul(a, c.astype(a.dtype), preferred_element_type=a.dtype)
         u = jnp.matmul(a, (wa @ bb).astype(a.dtype)) + jnp.dot(ba, bb).astype(a.dtype)
         w = jnp.matmul(a, (wb @ ba).astype(a.dtype))
         return ac, u, w
