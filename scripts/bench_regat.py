@@ -1,9 +1,18 @@
 """End-to-end ReGAT (RelationEncoder + classifier) inference throughput.
 
-The PERF.md ReGAT row. Measures the full model forward (question GRU +
-attention + spatial corr-GCN + classifier) with per-iteration answer-id
-fetches, same convention as bench.py. Compares f32/XLA (the r1 configuration
-that measured 47.3k q/s at B=4096) against bf16 and bf16 + fused kernels.
+The PERF.md ReGAT rows. Measures the full model forward (question GRU +
+attention + spatial corr-GCN + classifier). Two timing modes:
+
+- legacy per-call (the r1 convention that measured 47.3k q/s at B=4096
+  f32): one dispatch + answer-id fetch per iteration — includes the harness
+  relay's fixed ~20-30 ms per-dispatch cost;
+- chained (default, same scheme as bench.py): REPS forwards data-dependently
+  chained inside one jit per fetch, so the relay cost amortizes to ~1/REPS
+  and the number reflects the chip.
+
+Configs: f32 XLA, bf16 XLA, bf16 + int8 GCN projections (--use_int8: one
+dynamic row quant shared by the 3 big GEMMs, ops/quant.py), bf16 + fused
+Pallas chain kernel.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_regat.py
 """
@@ -18,15 +27,17 @@ from vqa_tpu.models.wrapper import set_model
 
 NOBJ, VDIM, QLEN = 36, 2048, 10
 NTOKEN, ANS = 20000, 3129
-WARMUP, ITERS = 2, 5
+WARMUP, ITERS, REPS = 1, 3, 8
 
 
-def run(B, dtype, use_pallas, conv_layer=1):
+def run(B, dtype, use_pallas=False, use_int8=False, conv_layer=1,
+        chained=True):
     model = set_model(encoder_type="relation", predictor_type="base",
                       decoder_type="none", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024, ans_dim=ANS,
                       att_type="new", conv_type="corr",
-                      conv_layer=conv_layer, use_pallas=use_pallas)
+                      conv_layer=conv_layer, use_pallas=use_pallas,
+                      use_int8=use_int8)
     rng = np.random.default_rng(0)
     batch = {
         "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM),
@@ -41,10 +52,22 @@ def run(B, dtype, use_pallas, conv_layer=1):
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
-    @jax.jit
-    def infer(params, batch):
-        predict, _ = model.apply(params, batch)
-        return jnp.argmax(predict, axis=-1)
+    if chained:
+        @jax.jit
+        def infer(params, batch):
+            def step(i, c):
+                b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
+                predict, _ = model.apply(params, b)
+                return jnp.argmax(predict, axis=-1).astype(jnp.int32)
+            return jax.lax.fori_loop(0, REPS, step,
+                                     jnp.zeros((B,), jnp.int32))
+        per_fetch = REPS
+    else:
+        @jax.jit
+        def infer(params, batch):
+            predict, _ = model.apply(params, batch)
+            return jnp.argmax(predict, axis=-1)
+        per_fetch = 1
 
     for _ in range(WARMUP):
         np.asarray(infer(params, batch))
@@ -53,18 +76,21 @@ def run(B, dtype, use_pallas, conv_layer=1):
         t0 = time.perf_counter()
         np.asarray(infer(params, batch))
         best = min(best, time.perf_counter() - t0)
-    name = f"B={B} {dtype.__name__}{' +fused' if use_pallas else ''} conv_layer={conv_layer}"
-    print(f"{name:44s} {best * 1e3:8.1f} ms   ({B / best:,.0f} q/s)",
+    ms = best * 1e3 / per_fetch
+    name = (f"B={B} {dtype.__name__}"
+            f"{' +int8' if use_int8 else ''}"
+            f"{' +fused' if use_pallas else ''}"
+            f"{' chained' if chained else ' per-call'}")
+    print(f"{name:44s} {ms:8.1f} ms   ({B / (ms / 1e3):,.0f} q/s)",
           flush=True)
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    run(4096, jnp.float32, False)      # r1 convention (measured 47.3k q/s)
-    run(4096, jnp.bfloat16, False)
-    run(4096, jnp.bfloat16, True)
-    run(16384, jnp.bfloat16, True)     # serving batch, fused
-    run(16384, jnp.bfloat16, False)
+    # B=16384 + the int8 activation copies exceeds HBM by ~0.4 GB -> the
+    # int8 comparison runs at B=8192 (bf16 row alongside for apples/apples)
+    run(8192, jnp.bfloat16)
+    run(8192, jnp.bfloat16, use_int8=True)
 
 
 if __name__ == "__main__":

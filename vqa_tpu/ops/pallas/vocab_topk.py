@@ -112,10 +112,17 @@ def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile_r", "tile_v", "interpret"))
 def vocab_topk_lse(h: jax.Array, w: jax.Array, b: jax.Array, k: int = 3,
-                   tile_r: int = 1024, tile_v: int = 2048,
+                   tile_r: int = 1024, tile_v: int = 1024,
                    interpret: bool = False):
     """h: [R, H], w: [H, V], b: [V] -> (top values [R, k] f32,
-    global indices [R, k] int32, logsumexp [R, 1] f32)."""
+    global indices [R, k] int32, logsumexp [R, 1] f32).
+
+    tile budget: the f32 logits block [tile_r, tile_v] plus the ~2 masking
+    temps the running-top-k keeps live must fit the 16 MB scoped-VMEM
+    stack — tile_r=1024 x tile_v=2048 overflows it (measured 21.6 MB at
+    H=1024); 1024 x 1024 fits. W HBM traffic is tile_v-independent (W
+    streams once per row block), so shrinking tile_v costs only per-chunk
+    merge overhead."""
     R, H = h.shape
     V = w.shape[1]
     tile_r = min(tile_r, R)

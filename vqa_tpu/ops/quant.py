@@ -40,9 +40,13 @@ def quantize_rows(x: jax.Array):
     single GEMM the pass eats most of the int8 rate gain (measured 162 vs
     251 TF/s, scripts/profile_int8.py).
     """
-    x = x.astype(jnp.float32)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1) / 127.0, 1e-8)
-    x_q = jnp.clip(jnp.round(x / x_scale[..., None]), -127, 127
+    # abs-max reduce in the input dtype (no f32 copy of x — at serving
+    # batches that copy alone is multiple GB of HBM); only the tiny scale
+    # vector and the fused elementwise requant run in f32.
+    x_scale = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1).astype(jnp.float32) / 127.0, 1e-8)
+    inv = (1.0 / x_scale)[..., None]
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127
                    ).astype(jnp.int8)
     return x_q, x_scale
 
