@@ -1,0 +1,86 @@
+"""Training-step throughput with relay dispatch amortized (chained steps).
+
+The PERF.md r1 train rows (39 ms/step Up-Down B=512) timed one dispatch +
+metric fetch per step, which includes the harness relay's fixed ~20-30 ms
+cost — a real training loop runs steps back-to-back with no host sync, so
+the honest number chains REPS steps in one jit via lax.scan (exactly what
+``train.py`` does between logging points) and fetches once.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vqa_tpu.models.wrapper import set_model
+from vqa_tpu.training import optim as optim_lib
+from vqa_tpu.training.state import TrainState, make_train_step
+
+B, NOBJ, VDIM, QLEN, CLEN = 512, 36, 2048, 10, 20
+NTOKEN, ANS = 20000, 3129
+WARMUP, ITERS, REPS = 1, 3, 8
+
+
+def run(name, caption=False, compute_dtype=None):
+    model = set_model(encoder_type="base", predictor_type="base",
+                      decoder_type="butd" if caption else "none",
+                      ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
+                      hidden_dim=1024, decoder_hidden_dim=1024, ans_dim=ANS,
+                      c_len=CLEN, att_type="new", use_mtl=caption)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM),
+                                               dtype=np.float32)),
+        "q": jnp.asarray(rng.integers(0, NTOKEN, (B, QLEN)), dtype=jnp.int32),
+        "a": jnp.asarray((rng.random((B, ANS)) < 0.01).astype(np.float32)),
+    }
+    if caption:
+        batch["c"] = jnp.asarray(rng.integers(0, NTOKEN, (B, CLEN)),
+                                 dtype=jnp.int32)
+        batch["cap_len"] = jnp.asarray(
+            rng.integers(5, CLEN + 1, (B,)).astype(np.int32))
+
+    tx = optim_lib.make_optimizer(lr=2e-3, max_norm=0.25, warm_up=1,
+                                  step_size=2, gamma=0.5,
+                                  steps_per_epoch=1000)
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: v[:8] for k, v in batch.items()})["params"]
+    state = TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.int32(0), rng=jax.random.key(0))
+    inner = make_train_step(model, tx, compute_dtype=compute_dtype)
+
+    @jax.jit
+    def steps(state, batch):
+        def body(s, _):
+            s, metrics = inner(s, batch)
+            return s, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=REPS)
+
+    for _ in range(WARMUP):
+        state2, losses = steps(state, batch)
+        np.asarray(losses)
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        _, losses = steps(state, batch)
+        np.asarray(losses)
+        best = min(best, time.perf_counter() - t0)
+    ms = best * 1e3 / REPS
+    print(f"{name:44s} {ms:8.1f} ms/step   ({B / (ms / 1e3):,.0f} q/s)",
+          flush=True)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    run("Up-Down VQA, B=512, f32")
+    run("Up-Down VQA, B=512, bf16 mixed (train default)",
+        compute_dtype=jnp.bfloat16)
+    run("MTL VQA+BUTD captions, B=512, bf16 mixed", caption=True,
+        compute_dtype=jnp.bfloat16)
+
+
+if __name__ == "__main__":
+    main()
