@@ -10,48 +10,31 @@ tokens), per-call ms = (t(N)-t(1))/(N-1).
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_int8_model.py
 """
 
-import time
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _bench_util import chained_ms
 
 from vqa_tpu.models.wrapper import set_model
 from vqa_tpu.data.shards import quantize_features
 
 B, NOBJ, VDIM, QLEN = 16384, 36, 2048, 10
 NTOKEN, ANS = 20000, 3129
-WARMUP, ITERS, REPS = 1, 3, 6
-
-
-def _timed(jitted, *args):
-    for _ in range(WARMUP):
-        np.asarray(jitted(*args))
-    best = float("inf")
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        np.asarray(jitted(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+REPS = 6
 
 
 def bench(model, params, batch, name):
-    # params/batch are jit ARGUMENTS (closures would bake them into the
-    # lowered graph as multi-GB constants and stall the relay compile)
-    @jax.jit
-    def fn(c, params, batch):
-        def step(i, c):
-            b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
-            predict, _ = model.apply({"params": params}, b)
-            return jnp.argmax(predict, axis=1).astype(jnp.int32)
-        return jnp.max(jax.lax.fori_loop(0, REPS, step, c))
+    def step(c, params, batch):
+        b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
+        predict, _ = model.apply({"params": params}, b)
+        return jnp.argmax(predict, axis=1).astype(jnp.int32)
 
-    # One compile per config: REPS chained forwards per fetch, so the
-    # relay's fixed per-call cost (~30 ms) amortizes to ~30/REPS ms/call —
-    # a common-mode residue identical for both configs being compared.
-    c = jnp.zeros((B,), jnp.int32)
-    tn = _timed(fn, c, params, batch)
-    ms = 1e3 * tn / REPS
+    ms = chained_ms(step, jnp.zeros((B,), jnp.int32), (params, batch),
+                    reps=REPS, mode="amortize")
     print(f"{name:40s} {ms:8.2f} ms/call   ({B / (ms / 1e3):,.0f} q/s)",
           flush=True)
     return ms

@@ -1,33 +1,37 @@
 """End-to-end ReGAT (RelationEncoder + classifier) inference throughput.
 
 The PERF.md ReGAT rows. Measures the full model forward (question GRU +
-attention + spatial corr-GCN + classifier). Two timing modes:
+attention + spatial corr-GCN + classifier). Two timing modes
+(scripts/_bench_util.py):
 
-- legacy per-call (the r1 convention that measured 47.3k q/s at B=4096
-  f32): one dispatch + answer-id fetch per iteration — includes the harness
-  relay's fixed ~20-30 ms per-dispatch cost;
-- chained (default, same scheme as bench.py): REPS forwards data-dependently
-  chained inside one jit per fetch, so the relay cost amortizes to ~1/REPS
-  and the number reflects the chip.
+- per-call (the r1 convention that measured 47.3k q/s at B=4096 f32): one
+  dispatch + answer-id fetch per iteration — includes the harness relay's
+  fixed ~20-30 ms per-dispatch cost;
+- chained (default, same scheme as bench.py): REPS forwards
+  data-dependently chained inside one jit per fetch.
 
-Configs: f32 XLA, bf16 XLA, bf16 + int8 GCN projections (--use_int8: one
-dynamic row quant shared by the 3 big GEMMs, ops/quant.py), bf16 + fused
-Pallas chain kernel.
+``python bench_regat.py`` runs the 2-config int8 comparison (~15 min of
+relay compiles); ``python bench_regat.py full`` reproduces every published
+PERF.md row (6 configs, slow). Note B=16384 with use_int8 exceeds HBM by
+~0.4 GB (documented in PERF.md) — the int8 rows run at B=8192.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_regat.py
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_regat.py [full]
 """
 
-import time
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _bench_util import chained_ms, timed
+
 from vqa_tpu.models.wrapper import set_model
 
 NOBJ, VDIM, QLEN = 36, 2048, 10
 NTOKEN, ANS = 20000, 3129
-WARMUP, ITERS, REPS = 1, 3, 8
+REPS = 8
 
 
 def run(B, dtype, use_pallas=False, use_int8=False, conv_layer=1,
@@ -53,30 +57,19 @@ def run(B, dtype, use_pallas=False, use_int8=False, conv_layer=1,
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
     if chained:
-        @jax.jit
-        def infer(params, batch):
-            def step(i, c):
-                b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
-                predict, _ = model.apply(params, b)
-                return jnp.argmax(predict, axis=-1).astype(jnp.int32)
-            return jax.lax.fori_loop(0, REPS, step,
-                                     jnp.zeros((B,), jnp.int32))
-        per_fetch = REPS
+        def step(c, params, batch):
+            b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
+            predict, _ = model.apply(params, b)
+            return jnp.argmax(predict, axis=-1).astype(jnp.int32)
+        ms = chained_ms(step, jnp.zeros((B,), jnp.int32), (params, batch),
+                        reps=REPS, mode="amortize")
     else:
         @jax.jit
         def infer(params, batch):
             predict, _ = model.apply(params, batch)
             return jnp.argmax(predict, axis=-1)
-        per_fetch = 1
+        ms = timed(infer, params, batch) * 1e3
 
-    for _ in range(WARMUP):
-        np.asarray(infer(params, batch))
-    best = float("inf")
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        np.asarray(infer(params, batch))
-        best = min(best, time.perf_counter() - t0)
-    ms = best * 1e3 / per_fetch
     name = (f"B={B} {dtype.__name__}"
             f"{' +int8' if use_int8 else ''}"
             f"{' +fused' if use_pallas else ''}"
@@ -87,8 +80,12 @@ def run(B, dtype, use_pallas=False, use_int8=False, conv_layer=1,
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    # B=16384 + the int8 activation copies exceeds HBM by ~0.4 GB -> the
-    # int8 comparison runs at B=8192 (bf16 row alongside for apples/apples)
+    full = len(sys.argv) > 1 and sys.argv[1] == "full"
+    if full:  # every published PERF.md row
+        run(4096, jnp.float32, chained=False)   # r1 convention
+        run(4096, jnp.bfloat16, chained=False)
+        run(16384, jnp.bfloat16, chained=False)
+        run(16384, jnp.bfloat16)
     run(8192, jnp.bfloat16)
     run(8192, jnp.bfloat16, use_int8=True)
 

@@ -13,40 +13,24 @@ Shapes: B=4096, N=36 objects, D=2048 (the PERF.md ReGAT row).
 """
 
 import functools
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _bench_util import chained_ms
+
 from vqa_tpu.ops.gcn import GCN, label_bias_sum
 
 B, N, D = 4096, 36, 2048
-WARMUP, ITERS, REPS = 1, 3, 8
-
-
-def _timed(jitted, *args):
-    for _ in range(WARMUP):
-        np.asarray(jitted(*args))
-    best = float("inf")
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        np.asarray(jitted(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+REPS = 8
 
 
 def bench(step, carry, args, name=""):
     """step: (carry, *args) -> carry (same shape/dtype)."""
-    def run(reps):
-        @jax.jit
-        def fn(c, *a):
-            c = jax.lax.fori_loop(0, reps, lambda i, c: step(c, *a), c)
-            return jnp.max(c.astype(jnp.float32))
-        return fn
-    t1 = _timed(run(1), carry, *args)
-    tn = _timed(run(REPS), carry, *args)
-    ms = 1e3 * (tn - t1) / (REPS - 1)
+    ms = chained_ms(step, carry, args, reps=REPS, mode="cancel")
     print(f"{name:46s} {ms:8.2f} ms   ({B / (ms / 1e3):,.0f} img/s)",
           flush=True)
     return ms

@@ -7,47 +7,35 @@ feature feed already delivers `img_q` (int8) + `img_scale`, the projection
 can consume int8 directly — no dynamic-quantization pass — and fold
 (img_scale x w_scale) into the GEMM epilogue.
 
-Measurement scheme: same relay-cost-canceling harness as profile_gcn.py
-(REPS iterations inside one jit via fori_loop with a data dependency;
-per-op time = (t(N)-t(1))/(N-1); max() fetch).
+Measurement: relay-cost-canceling chained harness (scripts/_bench_util.py,
+mode='cancel'). All device buffers are jit arguments (never closures).
 
 Candidates at M = 147456 (B=4096 x 36 objs), K = 2048:
   - bf16 [M,K]@[K,K] GEMM                      (the current fast config)
-  - int8 [M,K]@[K,K] -> int32 GEMM, epilogue dequant (static int8 operand)
-  - bf16 GEMM + full dynamic row-quant chain   (quantize cost included)
+  - int8 [M,K]@[K,K] -> int32 GEMM, epilogue dequant, bf16 activation
+    dynamically requantized per step (the requant pass costs HBM bandwidth)
+  - int8-fed: activation already int8 (the int8-feed case) — only the GEMM
+    + epilogue dequant+requant are paid
+  - the rectangular flagship shape [M, 2048]@[2048, 1024]
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_int8.py
 """
 
-import time
+import sys
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _bench_util import chained_ms
 
 M, K = 4096 * 36, 2048
-WARMUP, ITERS, REPS = 1, 3, 8
-
-
-def _timed(jitted, *args):
-    for _ in range(WARMUP):
-        np.asarray(jitted(*args))
-    best = float("inf")
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        np.asarray(jitted(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+REPS = 8
 
 
 def bench(step, carry, args, name="", flops=None):
-    def run(reps):
-        @jax.jit
-        def fn(c, *a):
-            c = jax.lax.fori_loop(0, reps, lambda i, c: step(c, *a), c)
-            return jnp.max(c.astype(jnp.float32))
-        return fn
-    t1 = _timed(run(1), carry, *args)
-    tn = _timed(run(REPS), carry, *args)
-    ms = 1e3 * (tn - t1) / (REPS - 1)
+    ms = chained_ms(step, carry, args, reps=REPS, mode="cancel")
     rate = f"  ({flops / (ms / 1e3) / 1e12:6.1f} TF/s)" if flops else ""
     print(f"{name:52s} {ms:8.2f} ms{rate}", flush=True)
     return ms
@@ -76,9 +64,7 @@ def main():
     bench(lambda c, w: norm(jnp.dot(c, w)), x, (w_bf,),
           name="bf16 [M,K]@[K,K]", flops=flops)
 
-    # int8 static-operand path: carry is bf16, re-quantized per step with a
-    # fixed scale (cheap: one mul + round + cast, fused into the epilogue of
-    # the previous op); GEMM runs int8 x int8 -> int32 on the MXU
+    # int8 path, bf16 carry re-quantized per step with a fixed scale
     def int8_static(c, wq, ws):
         cq = jnp.clip(jnp.round(c.astype(jnp.float32) * 127.0), -127, 127
                       ).astype(jnp.int8)
@@ -89,19 +75,18 @@ def main():
           name="int8 [M,K]@[K,K] + row requant + epilogue dequant",
           flops=flops)
 
-    # int8 with the activation already int8 (the int8-feed case): only the
-    # GEMM + epilogue dequant are paid
+    # int8-fed: the carry itself is int8 (the int8-feed case)
     xq = jax.device_put(rng.integers(-127, 128, (M, K), dtype=np.int8))
     x_scale = jax.device_put(
         np.full((M, 1), 1e-2, np.float32).astype(jnp.bfloat16))
 
-    def int8_fed_step(c, ws, xs):
+    def int8_fed_step(c, wq, ws, xs):
         acc = jax.lax.dot_general(c, wq, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         o = (acc.astype(jnp.bfloat16) * ws) * xs
         return jnp.clip(jnp.round(o.astype(jnp.float32)), -127, 127
                         ).astype(jnp.int8)
-    bench(int8_fed_step, xq, (w_scale, x_scale),
+    bench(int8_fed_step, xq, (wq, w_scale, x_scale),
           name="int8-fed [M,K]@[K,K] + epilogue dequant+requant",
           flops=flops)
 

@@ -225,13 +225,15 @@ def test_tpu_flags_smoke(workdir):
 
 def test_train_int8_feed(workdir):
     """--feature_dtype int8 trains end to end: quantized img_q/img_scale
-    batches through the loader, dequant on device (VERDICT r1 item 4)."""
+    batches through the loader, dequant on device (VERDICT r1 item 4).
+    --use_int8 composes: training stays on the differentiable f32 path,
+    the in-loop eval runs the int8 MXU attention projection."""
     path, root = workdir
     run_cli("main.py", common_args(root, [
         "--mode", "train", "--comment", "cli_int8",
         "--predictor_type", "base", "--decoder_type", "none",
         "--select_path", "vqa",
-        "--feature_dtype", "int8",
+        "--feature_dtype", "int8", "--use_int8", "1",
     ]), cwd=path)
     ckpt = path / "checkpoint" / "cli_int8"
     assert (ckpt / "best_model.ckpt").exists()

@@ -211,6 +211,25 @@ def test_multiply_attention_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), want, **TOL)
 
 
+def test_multiply_attention_fold_matches_joint(rng):
+    """The deterministic fold — (vp*qp)@w computed as vp@(qp*w), bias
+    dropped under the softmax's shift invariance — equals the explicit
+    joint/dropout form, in both plain and beam (q [B, k, H]) modes."""
+    B, N, D, H, K = 3, 9, 20, 16, 4
+    v = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((B, K, H)).astype(np.float32))
+    fold = MultiplyAttention(hidden_dim=H, dropout=0.3)
+    joint = MultiplyAttention(hidden_dim=H, dropout=0.0)
+    params = fold.init(jax.random.key(1), v, q)
+    rngs = {"dropout": jax.random.key(2)}
+    for query in (q, qk):
+        got = fold.apply(params, v, query, deterministic=True)
+        want = joint.apply(params, v, query, deterministic=False, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_dot_product_matches_torch(rng):
     torch.manual_seed(6)
     wa, wb = tnn.Linear(8, 6), tnn.Linear(10, 6)

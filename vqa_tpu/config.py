@@ -136,13 +136,18 @@ def parse_args(argv=None):
                              "backprop; the reference stubbed this out)")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler trace of a few steps")
-    parser.add_argument("--use_pallas", type=bool, default=False,
+    # (int 0/1, not type=bool: bool('0') is True — the truthiness trap)
+    parser.add_argument("--use_pallas", type=int, default=0,
                         help="route eligible ops through fused Pallas kernels "
                              "(bf16 inference fast path)")
-    parser.add_argument("--use_int8", type=bool, default=False,
-                        help="run the attention v-projection as an int8 MXU "
-                             "GEMM fed by the quantized feature feed "
-                             "(inference-only; requires --feature_dtype int8)")
+    parser.add_argument("--use_int8", type=int, default=0,
+                        help="int8 MXU GEMMs at inference (training always "
+                             "differentiates the f32 path): the attention "
+                             "v-projection consumes the quantized feed "
+                             "directly when the batch ships img_q "
+                             "(--feature_dtype int8; no-op on dense feeds), "
+                             "and ReGAT's GCN projections dynamically "
+                             "row-quantize their layer input (any feed)")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
     parser.add_argument("--train_dtype", type=str, default="bfloat16",

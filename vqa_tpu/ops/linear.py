@@ -79,11 +79,14 @@ class WNDense(nn.Module):
             # int8 MXU fast path: x is a pre-quantized activation with
             # per-row scales (the int8 feature feed); the effective
             # weight-normed kernel is quantized per output channel and both
-            # scales fold into the GEMM epilogue (ops/quant.py).
+            # scales fold into the GEMM epilogue (ops/quant.py). Output
+            # dtype follows the scale's dtype (the same convention as the
+            # feed dequant in models/encoder.py — int8 carries no float
+            # dtype of its own), unless self.dtype overrides.
             assert x_scale is not None, "int8 input requires x_scale"
             from vqa_tpu.ops.quant import int8_dot
             y = int8_dot(x, x_scale, scale * rows)
-            y = y.astype(self.dtype) if self.dtype is not None else y
+            y = y.astype(self.dtype or x_scale.dtype)
         else:
             kernel = (scale * rows).astype(self.dtype or x.dtype)
             y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
@@ -93,6 +96,24 @@ class WNDense(nn.Module):
             if add_bias:
                 y = y + b.astype(y.dtype)
         return y
+
+    @nn.compact
+    def fold_vector(self, x: jax.Array) -> jax.Array:
+        """``x * kernel[:, 0]`` for a features==1 layer: lets callers fold
+        this projection into an elementwise factor instead of materializing
+        the tensor it would be applied to (see MultiplyAttention — exact at
+        inference because the scalar bias is shift-invariant under the
+        softmax that follows). Declares the same parameters as ``__call__``.
+        """
+        assert self.features == 1, "fold_vector requires a [in, 1] kernel"
+        full_dim = x.shape[-1]
+        v = self.param("v", torch_linear_uniform(full_dim),
+                       (full_dim, self.features))
+        g = self.param("g", lambda _key: jnp.sqrt(jnp.sum(v * v)))
+        if self.use_bias:  # declared for parameter-structure parity
+            self.param("b", torch_linear_uniform(full_dim), (self.features,))
+        scale = g * jax.lax.rsqrt(jnp.sum(v * v))
+        return x * (scale * v)[:, 0].astype(x.dtype)
 
 
 class FCNet(nn.Module):
