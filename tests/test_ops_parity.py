@@ -230,6 +230,31 @@ def test_multiply_attention_fold_matches_joint(rng):
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_mixed_dtype_init_decoder_model(rng):
+    """f32 params + bf16 features must init/apply cleanly through the
+    decoder's nn.scan (regression: forcing the attention fold's einsum to
+    vp.dtype flipped the scan carry dtype mid-graph and broke init)."""
+    from vqa_tpu.models.wrapper import set_model
+    B, NOBJ, VDIM, C_LEN, NTOKEN = 4, 9, 32, 6, 50
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM))
+                           .astype(np.float32)).astype(jnp.bfloat16),
+        "q": jnp.asarray(rng.integers(0, NTOKEN, (B, 10)), jnp.int32),
+        "c": jnp.asarray(rng.integers(0, NTOKEN, (B, C_LEN)), jnp.int32),
+        "cap_len": jnp.asarray(np.full(B, C_LEN), jnp.int32),
+    }
+    model = set_model(encoder_type="base", predictor_type="none",
+                      decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
+                      embed_dim=8, hidden_dim=16, decoder_hidden_dim=16,
+                      att_type="new", c_len=C_LEN)
+    params = model.init(jax.random.key(3), batch)
+    p16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    _, cap = model.apply(p16, batch)
+    assert np.isfinite(np.asarray(cap["predict"], np.float32)).all()
+
+
 def test_dot_product_matches_torch(rng):
     torch.manual_seed(6)
     wa, wb = tnn.Linear(8, 6), tnn.Linear(10, 6)

@@ -277,6 +277,21 @@ def test_meteor_stem_vs_exact_ranking_agreement():
     assert scores_exact == sorted(scores_exact, reverse=True), scores_exact
 
 
+def test_topk_wide_matches_lax_topk():
+    """Two-stage exact top-k == lax.top_k on wide rows (values and, absent
+    ties, indices), including non-multiple-of-group widths and the
+    narrow-width fallback."""
+    from vqa_tpu.ops.topk import topk_wide
+    import jax
+    rng = np.random.default_rng(3)
+    for R, V in ((64, 20000), (7, 8191), (16, 4096)):
+        x = jnp.asarray(rng.standard_normal((R, V)).astype(np.float32))
+        vals, idx = topk_wide(x, 3)
+        wv, wi = jax.lax.top_k(x, 3)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(wv))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(wi))
+
+
 def test_beam_fused_vocab_matches_default(setup):
     """fused_vocab=True (Pallas vocab-head kernel: GEMM + running top-k +
     online logsumexp) returns the same beams and scores as the XLA path."""

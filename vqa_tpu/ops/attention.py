@@ -125,12 +125,18 @@ class MultiplyAttention(nn.Module):
         qp = self.W_q(q)                                     # [batch(, k), hidden]
         if deterministic:
             wq = self.linear.fold_vector(qp)                 # [batch(, k), hidden]
+            # output dtype follows numpy promotion of (vp, qp) — exactly the
+            # dtype the joint form produces (vp * qp promotes, the linear
+            # kernel is cast to the joint's dtype); forcing vp.dtype here
+            # broke mixed f32-params/bf16-features graphs (decoder scan
+            # carries changed dtype mid-graph)
+            out_dt = jnp.promote_types(vp.dtype, wq.dtype)
             if q.ndim == 3:
                 logits = jnp.einsum("bnd,bkd->bkn", vp, wq,
-                                    preferred_element_type=vp.dtype)[..., None]
+                                    preferred_element_type=out_dt)[..., None]
                 return jax.nn.softmax(logits, axis=2)
             logits = jnp.einsum("bnd,bd->bn", vp, wq,
-                                preferred_element_type=vp.dtype)[..., None]
+                                preferred_element_type=out_dt)[..., None]
             return jax.nn.softmax(logits, axis=1)
         if q.ndim == 3:
             joint = vp[:, None] * qp[:, :, None, :]
