@@ -1,21 +1,21 @@
-"""Exact two-stage top-k over wide axes (vocab-sized).
+"""Exact two-stage top-k over wide axes — measured NEGATIVE result on TPU.
 
-``lax.top_k`` lowers to a TPU custom call whose cost grows steeply with
-row width: 3.7 ms/step over [12288, 20000] f32 in the beam-decode trace
-(PERF.md "Beam decode", scripts/trace_beam.py) — 27% of the whole decode
-step. For small k over a wide axis the exact answer needs only one cheap
-full pass:
+Idea: for small k over a wide axis, reduce each row to G = ceil(V/group)
+group maxima (one pass), ``top_k`` the maxima, gather the k winning
+groups, ``top_k`` the gathered candidates. Exact: if a value v is in the
+global top-k but its group is not among the top-k groups by max, then k
+groups each contain a value > v — contradiction. (Tie *ordering* can
+differ from ``lax.top_k``'s lowest-index rule when equal values span
+groups.)
 
-1. reduce the row into G = ceil(V/group) group maxima        (one VPU pass)
-2. ``top_k`` over the [R, G] maxima                          (tiny)
-3. gather the k winning groups                               ([R, k*group])
-4. ``top_k`` over the gathered candidates                    (tiny)
-
-Exactness: if a value v is in the global top-k but its group is not among
-the top-k groups by max, then k groups each contain a value > v, so at
-least k values exceed v — contradiction. (Tie *ordering* can differ from
-``lax.top_k``'s lowest-index rule when equal values span groups; beam
-search is insensitive to the order of equal scores.)
+Measured at the beam-decode shape ([12288, 20000] f32, k=3,
+scripts/profile_topk.py, relay cost canceled): **lax.top_k 8.6 ms,
+two-stage w/ take_along_axis 12.9 ms, w/ one-hot-matmul select 12.1 ms**
+— the pad copy + [R, G, group] reduction + gather relayouts cost more
+than the custom call saves, so the beam vocab step stays on ``lax.top_k``
+(tools/beam.py). Kept as a library op with a parity test: the algebra is
+sound and the trade may flip at much larger vocabularies or on other
+backends.
 """
 
 from __future__ import annotations

@@ -120,11 +120,9 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
             else:
                 h, logits, _ = _decode_step(params, v, v_mean_b, prev, h,
                                             att_cache)
-                # two-stage exact top-k: lax.top_k's custom call is
-                # 3.7 ms/step over [B*k, ntoken] (trace_beam.py) vs one
-                # group-max pass + two tiny top_k (ops/topk.py)
-                from vqa_tpu.ops.topk import topk_wide
-                top_val, top_word = topk_wide(logits, k)       # [B*k, k]
+                # lax.top_k measured fastest here: the two-stage group-max
+                # alternative (ops/topk.py) loses on TPU — see its docstring
+                top_val, top_word = jax.lax.top_k(logits, k)   # [B*k, k]
                 if legacy_logit_scores:
                     step_scores = top_val
                 else:
