@@ -238,6 +238,14 @@ def main():
         load_model = args.load_model or os.path.join(save_path, "best_model.ckpt")
         params = load_params(load_model)
         print("load parameters: ", load_model)
+        import jax
+        import jax.numpy as jnp
+        decode_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            getattr(args, "decode_dtype", "float32")]
+        if decode_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(decode_dtype)
+                if x.dtype == jnp.float32 else x, params)
         val_loader = make_loader(args, vocab, ans_list, dataset_type,
                                  is_val=True)
         # --use_pallas also routes the beam vocab head through the fused
@@ -248,7 +256,10 @@ def main():
         with open(os.path.join(save_path, "decode.txt"), "w") as f:
             for batch in val_loader:
                 nvalid = int(batch.pop("nvalid"))
-                tokens, _ = beam(params, model_batch(batch))
+                mb = model_batch(batch)
+                if decode_dtype != jnp.float32 and "img" in mb:
+                    mb["img"] = jnp.asarray(mb["img"]).astype(decode_dtype)
+                tokens, _ = beam(params, mb)
                 caps = tokens_to_captions(np.asarray(tokens)[:nvalid, 0, :],
                                           vocab, vocab.end)
                 for c in caps:

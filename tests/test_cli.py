@@ -87,6 +87,7 @@ def test_train_decode_and_cap_eval(workdir):
         "--mode", "decode", "--comment", "cli_cap",
         "--predictor_type", "base-cap", "--decoder_type", "base",
         "--c_len", str(root["c_len"]),
+        "--decode_dtype", "bfloat16",   # the fast decode recipe (PERF.md)
     ]), cwd=path)
     decode = path / "checkpoint" / "cli_cap" / "decode.txt"
     assert decode.exists()

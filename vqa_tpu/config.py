@@ -150,6 +150,12 @@ def parse_args(argv=None):
                              "row-quantize their layer input (any feed)")
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         help="dtype of visual features on device")
+    parser.add_argument("--decode_dtype", type=str, default="float32",
+                        help="beam-decode compute dtype (float32 | "
+                             "bfloat16); bfloat16 halves decode time "
+                             "(PERF.md 'Beam decode') — opt-in because "
+                             "rare near-tie token picks can differ from "
+                             "the f32 reference decode")
     parser.add_argument("--train_dtype", type=str, default="bfloat16",
                         help="matmul compute dtype for training "
                              "(float32 | bfloat16); master params and "
