@@ -90,12 +90,13 @@ def run_config(fast: bool) -> float:
     rng = np.random.default_rng(0)
     batches = []
     for _ in range(2):  # rotate distinct device-resident batches
-        x = rng.standard_normal(
-            (BATCH_SIZE, NUM_OBJS, V_DIM), dtype=np.float32)
-        b = {"q": jnp.asarray(
-            rng.integers(0, NTOKEN, (BATCH_SIZE, Q_LEN)).astype(np.int32))}
-        b["img"] = jnp.asarray(x.astype(feat_dtype))
-        batches.append(b)
+        batches.append({
+            "img": jnp.asarray(rng.standard_normal(
+                (BATCH_SIZE, NUM_OBJS, V_DIM),
+                dtype=np.float32).astype(feat_dtype)),
+            "q": jnp.asarray(
+                rng.integers(0, NTOKEN, (BATCH_SIZE, Q_LEN)).astype(np.int32)),
+        })
     small = {k: v[:32] for k, v in batches[0].items()}
     params = model.init(jax.random.key(0), small)["params"]
     if fast:

@@ -53,8 +53,7 @@ def chained_ms(step, carry, args, reps: int = 8, mode: str = "amortize",
         @jax.jit
         def fn(c, *a):
             c = jax.lax.fori_loop(0, n, lambda i, c: step(c, *a), c)
-            return reduce(c.astype(jnp.float32) if c.dtype != jnp.int32
-                          else c)
+            return reduce(c.astype(jnp.float32))
         return fn
 
     tn = timed(build(reps), carry, *args)

@@ -19,12 +19,12 @@ from vqa_tpu.models.wrapper import set_model
 from vqa_tpu.training import optim as optim_lib
 from vqa_tpu.training.state import TrainState, make_train_step
 
-B, NOBJ, VDIM, QLEN, CLEN = 512, 36, 2048, 10, 20
+NOBJ, VDIM, QLEN, CLEN = 36, 2048, 10, 20
 NTOKEN, ANS = 20000, 3129
 WARMUP, ITERS, REPS = 1, 3, 8
 
 
-def run(name, caption=False, compute_dtype=None):
+def run(name, caption=False, compute_dtype=None, B=512):
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd" if caption else "none",
                       ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
@@ -75,11 +75,10 @@ def run(name, caption=False, compute_dtype=None):
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    run("Up-Down VQA, B=512, f32")
     run("Up-Down VQA, B=512, bf16 mixed (train default)",
         compute_dtype=jnp.bfloat16)
-    run("MTL VQA+BUTD captions, B=512, bf16 mixed", caption=True,
-        compute_dtype=jnp.bfloat16)
+    run("Up-Down VQA, B=4096, bf16 mixed", compute_dtype=jnp.bfloat16,
+        B=4096)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,6 @@ gradients never route through the non-differentiable rounding.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -16,10 +15,7 @@ import jax.numpy as jnp
 from vqa_tpu.data.shards import quantize_features
 from vqa_tpu.ops.quant import int8_dot, quantize_weight_per_col
 
-
-@pytest.fixture
-def rng():
-    return np.random.default_rng(0)
+# the shared `rng` fixture comes from tests/conftest.py
 
 
 def test_quantize_weight_roundtrip(rng):

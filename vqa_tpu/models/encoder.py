@@ -155,20 +155,15 @@ class RelationEncoder(BaseEncoder):
         super().setup()
         assert self.use_imp or self.use_spa or self.use_sem, \
             "Should use at least one relation"
+        gcn_kwargs = dict(conv_layer=self.conv_layer,
+                          conv_type=self.conv_type, dropout=self.dropout,
+                          use_pallas=self.use_pallas, use_int8=self.use_int8)
         if self.use_imp:
-            self.implicit_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
-                                        conv_type=self.conv_type,
-                                        dropout=self.dropout,
-                                        use_pallas=self.use_pallas,
-                                        use_int8=self.use_int8,
-                                        name="implicit_encoder")
+            self.implicit_encoder = GCN(self.v_dim, name="implicit_encoder",
+                                        **gcn_kwargs)
         if self.use_spa:
-            self.spatial_encoder = GCN(self.v_dim, conv_layer=self.conv_layer,
-                                       conv_type=self.conv_type,
-                                       dropout=self.dropout,
-                                       use_pallas=self.use_pallas,
-                                       use_int8=self.use_int8,
-                                       name="spatial_encoder")
+            self.spatial_encoder = GCN(self.v_dim, name="spatial_encoder",
+                                       **gcn_kwargs)
         if self.use_sem:
             # Semantic-relation branch: the graph itself must come from an
             # external relationship detector (see data/relation.py
@@ -176,12 +171,8 @@ class RelationEncoder(BaseEncoder):
             # relation.py:48-62), but the encoder-side wiring is complete:
             # feed int labels as batch['sem_graph'].
             self.semantic_encoder = GCN(self.v_dim, num_labels=15,
-                                        conv_layer=self.conv_layer,
-                                        conv_type=self.conv_type,
-                                        dropout=self.dropout,
-                                        use_pallas=self.use_pallas,
-                                        use_int8=self.use_int8,
-                                        name="semantic_encoder")
+                                        name="semantic_encoder",
+                                        **gcn_kwargs)
 
     def __call__(self, batch, graph_alpha: bool = False, *,
                  deterministic: bool = True):
