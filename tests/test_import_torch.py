@@ -139,6 +139,25 @@ def test_import_updown_state_dict_end_to_end(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+def test_import_cli_subprocess(tmp_path):
+    """python -m vqa_tpu.tools.import_torch --src .pt --dst .ckpt"""
+    import os
+    import subprocess
+    import sys
+    torch.manual_seed(29)
+    src, dst = str(tmp_path / "e.pt"), str(tmp_path / "e.ckpt")
+    torch.save(RefWrapper().state_dict(), src)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "vqa_tpu.tools.import_torch",
+         "--src", src, "--dst", dst],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert os.path.exists(dst)
+
+
 def test_convert_file_roundtrip(rng, tmp_path):
     """torch.save(.pt) -> convert() -> load_params reads the same tree."""
     from vqa_tpu.tools.import_torch import convert

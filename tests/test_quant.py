@@ -134,6 +134,19 @@ def test_model_int8_answer_agreement(rng):
     assert agree >= 0.95, f"answer agreement {agree}"
 
 
+def test_grouped_self_similarity_exact(rng):
+    """Block-diagonal image-grouped contraction == the direct batched
+    einsum, for group-divisible, partially divisible and prime batches."""
+    from vqa_tpu.ops.gcn import grouped_self_similarity
+    for B in (8, 6, 5):
+        a = jnp.asarray(rng.standard_normal((B, 36, 64)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((B, 36, 64)).astype(np.float32))
+        want = np.einsum("bik,bjk->bij", np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(grouped_self_similarity(a, b)), want,
+            rtol=1e-5, atol=1e-5)
+
+
 def test_gcn_int8_close_to_f32(rng):
     """GCN(use_int8=True) inference stays close to the f32 conv (shared
     dynamic row quant + per-col weight quant across the 3 big GEMMs)."""

@@ -39,6 +39,36 @@ def _uniform(bound: float):
     return init
 
 
+def grouped_self_similarity(a: jax.Array, b: jax.Array,
+                            group: int = 8) -> jax.Array:
+    """``einsum('bik,bjk->bij', a, b)`` in image groups — measured
+    NEGATIVE result on TPU; NOT wired into the model.
+
+    Idea: the direct batched einsum produces a tiny [N, N] output per
+    image (N = 36 objects) and runs latency-bound at ~1.7 TF/s on the MXU
+    (trace: 12.8 ms of a 73 ms ReGAT call at B=8192,
+    scripts/trace_regat.py); packing ``group`` images into one
+    [G*N, D] @ [D, G*N] product trades a G-fold FLOP surplus for dense
+    GEMM rates — the gcn_chain.py trick in pure XLA. Measured same-window
+    at B=8192 bf16: **91.4 ms grouped vs 75.2 ms plain** end to end — the
+    grouped product forces a materialized relayout of the j-side operand
+    (contracting lanes), which the per-image einsum amortizes into its
+    tiny matmuls. Exact and tested; kept as a library op only.
+    """
+    B, N, D = a.shape
+    g = next(x for x in (group, 4, 2, 1) if B % x == 0)
+    if g == 1:
+        return jnp.einsum("bik,bjk->bij", a, b,
+                          preferred_element_type=a.dtype)
+    big = jnp.einsum("bik,bjk->bij", a.reshape(B // g, g * N, D),
+                     b.reshape(B // g, g * N, D),
+                     preferred_element_type=a.dtype)   # [B/g, gN, gN]
+    # keep the g block-diagonal [N, N] blocks, drop the image-cross rest
+    # (static slices — jnp.diagonal lowers to a gather, measured slower)
+    blocks = [big[:, i * N:(i + 1) * N, i * N:(i + 1) * N] for i in range(g)]
+    return jnp.stack(blocks, axis=1).reshape(B, N, N)
+
+
 def label_bias_sum(graph: jax.Array, bias: jax.Array, num_labels: int) -> jax.Array:
     """Device-side ``sum_j bias[graph[b, i, j]]`` -> [B, N, out].
 
