@@ -158,6 +158,24 @@ def test_import_cli_subprocess(tmp_path):
     assert os.path.exists(dst)
 
 
+def test_import_lrelu_net():
+    """Reference LReLUNet (bias-free Linear in a Sequential) maps to our
+    module-level ``w`` — not a collapsed ``fc0`` level (q-cap predictor)."""
+    torch.manual_seed(31)
+    pred = tnn.Module()
+    vnet = tnn.Module()
+    vnet.main = tnn.Sequential(tnn.Linear(V_DIM, HIDDEN, bias=False),
+                               tnn.LeakyReLU(0.01))
+    pred.v_net = vnet
+    wrap = tnn.Module()
+    wrap.predictor = pred
+    params, unmapped = import_reference_state_dict(wrap.state_dict())
+    assert unmapped == []
+    np.testing.assert_array_equal(
+        params["predictor"]["v_net"]["w"],
+        wrap.state_dict()["predictor.v_net.main.0.weight"].numpy().T)
+
+
 def test_convert_file_roundtrip(rng, tmp_path):
     """torch.save(.pt) -> convert() -> load_params reads the same tree."""
     from vqa_tpu.tools.import_torch import convert

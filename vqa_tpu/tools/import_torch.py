@@ -101,6 +101,15 @@ def import_reference_state_dict(sd: Dict[str, Any]
             _set(out, _translate_path(".".join(base_parts)) + [name], val)
         elif leaf == "weight":
             base = _translate_path(".".join(base_parts))
+            # reference LReLUNet = Sequential(Linear(bias=False), LeakyReLU)
+            # (modules.py:62-77); ours declares its single `w` directly on
+            # the module, so the collapsed Sequential level drops out. A
+            # *plain* bias-free Linear inside a Sequential can only be
+            # LReLUNet — FCNet/attention Linears are all weight-normed.
+            if base and base[-1].startswith("fc") \
+                    and ".".join(base_parts) + ".bias" not in sd \
+                    and base_parts[-1].isdigit():
+                base = base[:-1]
             _set(out, base + ["w"], val.T)
         elif leaf == "bias":
             _set(out, _translate_path(".".join(base_parts)) + ["b"], val)
