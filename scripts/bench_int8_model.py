@@ -65,6 +65,10 @@ def main():
 
     bench(m_bf, params, batch_bf, "bf16 feed, bf16 GEMMs")
     bench(m_q8, params, batch_q8, "int8 feed, int8 v-projection")
+    # int8 feed + bf16 GEMMs: the dequant fuses into both feature reads
+    # (projection operand + att*v pooling), halving their HBM traffic,
+    # without the int8 GEMM's dequant epilogue
+    bench(m_bf, params, batch_q8, "int8 feed, bf16 GEMMs (fused dequant)")
 
 
 if __name__ == "__main__":
