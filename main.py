@@ -257,8 +257,14 @@ def main():
             for batch in val_loader:
                 nvalid = int(batch.pop("nvalid"))
                 mb = model_batch(batch)
-                if decode_dtype != jnp.float32 and "img" in mb:
-                    mb["img"] = jnp.asarray(mb["img"]).astype(decode_dtype)
+                if decode_dtype != jnp.float32:
+                    if "img" in mb:
+                        mb["img"] = jnp.asarray(mb["img"]).astype(decode_dtype)
+                    if "img_scale" in mb:
+                        # scale dtype drives the on-device dequant dtype
+                        # (models/encoder.py _visual_input)
+                        mb["img_scale"] = jnp.asarray(
+                            mb["img_scale"]).astype(decode_dtype)
                 tokens, _ = beam(params, mb)
                 caps = tokens_to_captions(np.asarray(tokens)[:nvalid, 0, :],
                                           vocab, vocab.end)
