@@ -158,6 +158,42 @@ def test_import_cli_subprocess(tmp_path):
     assert os.path.exists(dst)
 
 
+def test_import_butd_generator_structure():
+    """BUTD decoder keys (two GRUCells, h1/h2 Linears, MultiplyAttention)
+    land on our BUTDDecoder init structure (generator.py:193-267 naming)."""
+    torch.manual_seed(37)
+    H = 16
+    gen = tnn.Module()
+    gen.word_rnn = tnn.GRUCell(input_size=H + V_DIM + EMBED, hidden_size=H)
+    gen.language_rnn = tnn.GRUCell(input_size=V_DIM + H, hidden_size=H)
+    att = tnn.Module()
+    att.W_v = ref_fcnet(V_DIM, H)
+    att.W_q = ref_fcnet(H, H)
+    att.linear = weight_norm(tnn.Linear(H, 1), dim=None)
+    gen.attention = att
+    gen.h1_fcnet = tnn.Linear(H, H)
+    gen.h2_fcnet = tnn.Linear(H, NTOKEN)
+    wrap = tnn.Module()
+    wrap.generator = gen
+    params, unmapped = import_reference_state_dict(wrap.state_dict())
+    assert unmapped == []
+
+    from vqa_tpu.models.generator import BUTDDecoder
+    dec = BUTDDecoder(ntoken=NTOKEN, hidden_dim=H, max_len=6, dropout=0.0,
+                      att_type="new", att_dropout=0.0)
+    import jax.numpy as jnp
+    embed = {"v": jnp.zeros((2, OBJS, V_DIM)),
+             "c": jnp.zeros((2, 6, EMBED)),
+             "c_target": jnp.zeros((2, 6), jnp.int32),
+             "cap_len": jnp.full((2,), 6, jnp.int32)}
+    init = dec.init(jax.random.key(0), embed)["params"]
+    want = {tuple(p): np.shape(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(init)[0]}
+    got = {tuple(p): np.shape(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(params["generator"])[0]}
+    assert want == got
+
+
 def test_import_lrelu_net():
     """Reference LReLUNet (bias-free Linear in a Sequential) maps to our
     module-level ``w`` — not a collapsed ``fc0`` level (q-cap predictor)."""
