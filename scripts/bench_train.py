@@ -24,12 +24,17 @@ NTOKEN, ANS = 20000, 3129
 WARMUP, ITERS, REPS = 1, 3, 8
 
 
-def run(name, caption=False, compute_dtype=None, B=512):
+def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True):
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd" if caption else "none",
                       ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
                       hidden_dim=1024, decoder_hidden_dim=1024, ans_dim=ANS,
                       c_len=CLEN, att_type="new", use_mtl=caption)
+    if not fused_cap:
+        from vqa_tpu.models.wrapper import VQAModel
+        model = VQAModel(encoder=model.encoder, predictor=model.predictor,
+                         generator=model.generator, use_mtl=caption,
+                         fused_cap_loss=False)
     rng = np.random.default_rng(0)
     batch = {
         "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM),
@@ -74,11 +79,23 @@ def run(name, caption=False, compute_dtype=None, B=512):
 
 
 def main():
+    import sys
     print("devices:", jax.devices(), flush=True)
-    run("Up-Down VQA, B=512, bf16 mixed (train default)",
-        compute_dtype=jnp.bfloat16)
-    run("Up-Down VQA, B=4096, bf16 mixed", compute_dtype=jnp.bfloat16,
-        B=4096)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "vqa"):
+        run("Up-Down VQA, B=512, bf16 mixed (train default)",
+            compute_dtype=jnp.bfloat16)
+        run("Up-Down VQA, B=4096, bf16 mixed", compute_dtype=jnp.bfloat16,
+            B=4096)
+    if which in ("all", "mtl"):
+        run("MTL VQA+BUTD, B=512, bf16, stacked (r2 layout)",
+            caption=True, compute_dtype=jnp.bfloat16, fused_cap=False)
+        run("MTL VQA+BUTD, B=512, bf16, fused cap loss",
+            caption=True, compute_dtype=jnp.bfloat16)
+        run("MTL VQA+BUTD, B=2048, bf16, fused cap loss",
+            caption=True, compute_dtype=jnp.bfloat16, B=2048)
+        run("MTL VQA+BUTD, B=4096, bf16, fused cap loss",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096)
 
 
 if __name__ == "__main__":

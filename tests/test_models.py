@@ -103,6 +103,38 @@ def test_multitask_loss_and_mtl_logvars(rng):
         rtol=1e-5)
 
 
+@pytest.mark.parametrize("decoder_type", ["base", "butd"])
+def test_fused_caption_loss_matches_unfused(rng, decoder_type):
+    """generator.caption_loss (CE inside the remat'd scan, logits never
+    stacked) == stacked logits + ce_for_language_model, and its gradients
+    match too — the MTL training hot path is exact, not approximate."""
+    model, params, batch = build(rng, decoder_type=decoder_type,
+                                 predictor_type="base-cap", use_mtl=True)
+    fused_loss, fused_writes = model.apply(params, batch, method="get_loss",
+                                           deterministic=True)
+    unfused = VQAModel(encoder=model.encoder, predictor=model.predictor,
+                       generator=model.generator, use_mtl=True,
+                       fused_cap_loss=False)
+    ref_loss, ref_writes = unfused.apply(params, batch, method="get_loss",
+                                         deterministic=True)
+    np.testing.assert_allclose(float(fused_loss), float(ref_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(fused_writes["train/cap/loss"]),
+                               float(ref_writes["train/cap/loss"]), rtol=1e-6)
+
+    def loss_of(mdl):
+        def f(p):
+            loss, _ = mdl.apply({"params": p}, batch, method="get_loss",
+                                deterministic=True)
+            return loss
+        return f
+    g_fused = jax.grad(loss_of(model))(params["params"])
+    g_ref = jax.grad(loss_of(unfused))(params["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=1e-6),
+        g_fused, g_ref)
+
+
 def test_qcap_predictor(rng):
     model, params, batch = build(rng, predictor_type="q-cap")
     predict, _ = model.apply(params, batch)

@@ -150,6 +150,64 @@ class DecoderBase(nn.Module):
         }
 
 
+    def caption_loss(self, batch: Dict[str, Any], *,
+                     deterministic: bool = False) -> Dict[str, jax.Array]:
+        """Teacher-forced masked CE fused into the time scan.
+
+        Mathematically identical to ``__call__`` +
+        ``wrapper.ce_for_language_model`` (pinned by
+        tests/test_models.py::test_fused_caption_loss_matches_unfused), but
+        TPU-first for the training hot path (the dominant cost of the MTL
+        step — reference hot loop at
+        `/root/reference/modules/generator.py:66-120` + wrapper.py:32-36):
+
+        - the per-step CE (log_softmax + gather) runs inside the scan body,
+          so the [B, T, ntoken] logits are never stacked to HBM — neither
+          in the forward nor as a [B, T, ntoken] cotangent in the backward;
+        - the scan body is rematerialized (``nn.remat``): the backward
+          recomputes each step's activations from the small carried hidden
+          states instead of stacking every intermediate
+          (dynamic-update-slice traffic was ~23 ms of the 85.6 ms MTL step
+          at B=512, PERF.md "MTL train step").
+
+        Returns {'loss': scalar masked mean CE, 'mask_sum': scalar}.
+        """
+        v = batch["v"]
+        caption = batch["c"]
+        cap_len = batch["cap_len"]
+        target = batch["c_target"]
+        batch_size = v.shape[0]
+        v_mean = jnp.mean(v, axis=1)
+        steps = self.max_len - 1
+
+        h = self.init_hidden(batch_size, v.dtype)
+        att_cache = self.project_v(v)
+        mask = (jnp.arange(steps)[None, :] < (cap_len[:, None] - 1))
+        acc_dtype = jnp.promote_types(v.dtype, jnp.float32)
+        mask = mask.astype(acc_dtype)
+
+        def body(mdl, carry, xs):
+            prev, tgt_t, mask_t = xs
+            h, nll_acc = carry
+            h, logits, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                      att_cache=att_cache,
+                                      deterministic=deterministic)
+            # loss math in >=f32 (see wrapper._at_least_f32 rationale)
+            logp = jax.nn.log_softmax(logits.astype(acc_dtype), axis=-1)
+            nll = -jnp.take_along_axis(logp, tgt_t[:, None], axis=-1)[:, 0]
+            return (h, nll_acc + jnp.sum(nll * mask_t)), None
+
+        body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1)
+        xs = (caption[:, :steps, :], target[:, 1:self.max_len], mask)
+        (_, nll_sum), _ = scan(self, (h, jnp.zeros((), acc_dtype)), xs)
+        mask_sum = jnp.sum(mask)
+        return {"loss": nll_sum / jnp.maximum(mask_sum, 1.0),
+                "mask_sum": mask_sum}
+
+
 class BaseDecoder(DecoderBase):
     """Show-Attend-Tell single-cell decoder (generator.py:123-190)."""
 

@@ -83,6 +83,11 @@ class VQAModel(nn.Module):
     predictor: Optional[nn.Module] = None
     generator: Optional[nn.Module] = None
     use_mtl: bool = False
+    # get_loss computes the caption CE inside the decoder's time scan
+    # (remat'd, logits never stacked — generator.caption_loss). Same value
+    # as the stacked path at fp tolerance; False restores the stacked
+    # logits + ce_for_language_model layout.
+    fused_cap_loss: bool = True
 
     @property
     def mtl_active(self) -> bool:
@@ -106,7 +111,20 @@ class VQAModel(nn.Module):
     def get_loss(self, batch: Dict[str, Any], *, deterministic: bool = False
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Joint loss + scalar metrics dict (wrapper.py:76-105)."""
-        predict, caption = self(batch, deterministic=deterministic)
+        embed = self.encoder(batch, deterministic=deterministic)
+        if self.generator is not None and self.fused_cap_loss:
+            # training hot path: CE fused into the remat'd decoder scan
+            loss_cap = self.generator.caption_loss(
+                embed, deterministic=deterministic)["loss"]
+        elif self.generator is not None:
+            caption = self.generator(embed, deterministic=deterministic)
+            loss_cap = ce_for_language_model(caption["predict"],
+                                             caption["target"],
+                                             caption["mask"])
+        else:
+            loss_cap = None
+        predict = (self.predictor(embed, deterministic=deterministic)
+                   if self.predictor is not None else None)
         loss = jnp.float32(0.0)
         writes: Dict[str, jax.Array] = {}
         log_vars = self.log_vars if self.mtl_active else None
@@ -121,10 +139,7 @@ class VQAModel(nn.Module):
             else:
                 loss = loss + loss_vqa
 
-        if caption is not None:
-            loss_cap = ce_for_language_model(caption["predict"],
-                                             caption["target"],
-                                             caption["mask"])
+        if loss_cap is not None:
             writes["train/cap/loss"] = loss_cap
             if log_vars is not None:
                 loss = loss + jnp.exp(-log_vars[1]) * loss_cap + log_vars[1]
