@@ -24,9 +24,20 @@ if os.environ.get("VQA_TPU_PLATFORM"):
 
 if os.environ.get("VQA_TPU_MULTIHOST"):
     # multi-host pod slice: one process per host over DCN
-    # (SURVEY.md section 5.8); mesh axes then span all hosts' devices
+    # (SURVEY.md section 5.8); mesh axes then span all hosts' devices.
+    # On TPU pods initialize() auto-discovers coordination; the VQA_TPU_COORD
+    # triple drives manual coordination (the 2-process CPU test, or
+    # non-pod clusters without cluster-env autodetection).
     import jax
-    jax.distributed.initialize()
+    if os.environ.get("VQA_TPU_PLATFORM") == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if os.environ.get("VQA_TPU_COORD"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["VQA_TPU_COORD"],
+            num_processes=int(os.environ["VQA_TPU_NPROCS"]),
+            process_id=int(os.environ["VQA_TPU_PROC_ID"]))
+    else:
+        jax.distributed.initialize()
 
 from vqa_tpu.config import Argument, parse_args, save_args, dataset_type_from_args
 from vqa_tpu.data.dataset import set_dataset
@@ -169,6 +180,13 @@ def main():
             init_state = blank.replace(params=merged)
             print("load parameters:", path)
 
+        if getattr(args, "train_dtype", "float32") not in ("float32", "f32", ""):
+            # the bf16 default silently changes numerics vs the reference
+            # f32 recipe — announce it so trajectory diffs are attributable
+            logger.show(f"[notice] train_dtype={args.train_dtype}: matmuls run "
+                        "in mixed precision (master params/moments stay f32); "
+                        "pass --train_dtype float32 for bit-exact "
+                        "reference-recipe numerics")
         print("start training.")
         common = dict(model=model, lr=args.lr, val_loader=val_loader,
                       num_epoches=args.epoches, save_path=save_path,
@@ -199,7 +217,15 @@ def main():
         else:
             train(train_loader=train_loader, **common)
 
-    if args.mode in ("train", "val"):
+    import jax as _jax
+    is_main = _jax.process_index() == 0
+    if _jax.process_count() > 1:
+        # all hosts must see process 0's checkpoints (shared FS) before the
+        # collective eval/decode paths read them
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("vqa_tpu:post_train")
+
+    if args.mode in ("train", "val") and args.predictor_type != "none":
         load_model = args.load_model or os.path.join(save_path, "best_model.ckpt")
         params = load_params(load_model)
         print("load parameters: ", load_model)
@@ -216,14 +242,20 @@ def main():
 
         val_loader = make_loader(args, vocab, ans_list, dataset_type,
                                  is_val=True)
-        writer = MetricsWriter(save_path, comment=args.comment + "_val")
+        # evaluate() is collective (every process feeds its loader shard);
+        # artifact writes happen on process 0 only
+        writer = (MetricsWriter(save_path, comment=args.comment + "_val")
+                  if is_main else None)
         eval_step = make_eval_step(model)
         metric = evaluate(eval_step, params, val_loader, logger=logger,
                           writer=writer, ans_index=ans_index,
-                          save_path=os.path.join(save_path, "valid"),
+                          save_path=os.path.join(save_path, "valid")
+                          if is_main else None,
                           mesh=mesh)
         for i in metric:
             print(f"{i}\t {metric[i] * 100:.4f} %")
+        if writer is None:
+            return
         writer.add_hparams(
             hparams={"name": args.comment, "embed_dim": args.embed_dim,
                      "hidden_dim": args.hidden_dim,
@@ -233,9 +265,20 @@ def main():
                      "dropout": args.dropout},
             metrics=metric)
         writer.close()
+    elif args.mode in ("train", "val"):
+        print("predictor_type none: no VQA head to validate; skipping "
+              "val (decode mode scores captions via cap_eval.py).")
 
     if args.mode == "decode":
         load_model = args.load_model or os.path.join(save_path, "best_model.ckpt")
+        if not os.path.exists(load_model) and not args.load_model:
+            # fall back to the newest epoch checkpoint (a caption-only run
+            # trained before the best-by-caption-loss fix, or an interrupted
+            # one, may have epochs but no best_model.ckpt)
+            import glob
+            epochs = glob.glob(os.path.join(save_path, "epoch_*.ckpt"))
+            if epochs:
+                load_model = max(epochs, key=os.path.getmtime)
         params = load_params(load_model)
         print("load parameters: ", load_model)
         import jax

@@ -105,6 +105,31 @@ def test_train_decode_and_cap_eval(workdir):
         assert metric in text
 
 
+def test_caption_only_train_decode(workdir):
+    """CONFIGS.md config 2 verbatim shape: --predictor_type none trains
+    (best_model.ckpt tracked by lowest train caption loss — the reference
+    never saves one here and its decode crashes, main.py:298-302), decodes
+    without --load_model, and cap_eval scores the output."""
+    path, root = workdir
+    base = common_args(root, [
+        "--comment", "cli_cap_only",
+        "--predictor_type", "none", "--decoder_type", "butd",
+        "--c_len", str(root["c_len"]),
+    ])
+    run_cli("main.py", base + ["--mode", "train"], cwd=path)
+    ckpt = path / "checkpoint" / "cli_cap_only"
+    assert (ckpt / "best_model.ckpt").exists()
+    run_cli("main.py", base + ["--mode", "decode"], cwd=path)
+    decode = ckpt / "decode.txt"
+    lines = [l for l in decode.read_text().split("\n") if l]
+    assert len(lines) == 12
+    run_cli("cap_eval.py", [
+        "--load_path", "cli_cap_only",
+        "--load_ref", os.path.join(root["annot"], "val2014_captions.json"),
+    ], cwd=path)
+    assert (ckpt / "eval_result.txt").exists()
+
+
 def test_preprocessing_cli(workdir, tmp_path):
     """preprocessing.py over synthetic raw VQA/COCO JSON."""
     path, root = workdir
@@ -161,6 +186,32 @@ def test_preprocessing_cli(workdir, tmp_path):
     assert set(c.keys()) == {"1", "2"}
     assert c["1"]["c_word"][0].startswith("<start> ")
     assert len(c["1"]["c"][0]) == 20
+
+
+def test_gate_check_script(workdir, tmp_path):
+    """scripts/gate_check.py parses the val hparams record and applies the
+    55.8 gate (RUNBOOK.md). Uses the scalars.jsonl written by the cli_vqa
+    val run plus a synthetic passing record."""
+    path, root = workdir
+    exp = path / "checkpoint" / "cli_vqa"
+    assert (exp / "scalars.jsonl").exists()  # test_train_and_val_vqa ran
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gate_check.py"),
+         str(exp), "--threshold", "55.8"],
+        capture_output=True, text=True)
+    assert proc.returncode == 1  # synthetic mini-split is far below gate
+    assert "FAIL" in proc.stdout
+    good = tmp_path / "good"
+    good.mkdir()
+    (good / "scalars.jsonl").write_text(json.dumps(
+        {"hparams": {}, "metrics": {"hparam/score": 0.5623,
+                                    "hparam/yes/no": 0.77}}) + "\n")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gate_check.py"),
+         str(good), "--threshold", "55.8"],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS" in proc.stdout
 
 
 def test_train_select_strategy(workdir):

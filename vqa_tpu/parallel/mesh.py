@@ -42,6 +42,28 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def replicate_global(mesh: Mesh, tree: Any) -> Any:
+    """Replicate host-local arrays over a (possibly multi-host) mesh.
+
+    ``jax.device_put`` to a non-addressable sharding only accepts
+    uncommitted/numpy inputs (it asserts the value is identical on every
+    process) — but jit/init outputs are committed arrays. Round-trip through
+    host numpy first; PRNG key arrays go via key_data/wrap_key_data (their
+    extended dtype cannot convert to numpy directly). Correct only when
+    every process holds the same values (e.g. seeded identical init).
+    """
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            return jax.random.wrap_key_data(jax.device_put(data, sharding))
+        return jax.device_put(np.asarray(x), sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Leading-axis 'data' sharding for arrays, replicated scalars.
 

@@ -82,6 +82,13 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None
             "best_score": float(payload["best_score"])}
     if state is None:
         return {**payload, **meta}
+    if not payload.get("opt_state"):
+        # e.g. a checkpoint written by tools/import_torch.py: params only,
+        # no optimizer moments — resuming training from it is undefined
+        raise ValueError(
+            f"{path} has no optimizer state (an imported/params-only "
+            "checkpoint): it supports eval/decode (load_params) or warm "
+            "start (merge_params), not training resume")
     restored = state.replace(
         params=serialization.from_state_dict(state.params, payload["params"]),
         opt_state=serialization.from_state_dict(state.opt_state,

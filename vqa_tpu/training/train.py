@@ -34,6 +34,18 @@ def model_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {k: batch[k] for k in MODEL_KEYS if k in batch}
 
 
+def _local_rows(garr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global order.
+
+    Under ``make_array_from_process_local_data`` each host's input rows land
+    on its own devices, so concatenating the addressable shards by global
+    row offset recovers exactly the rows this host fed.
+    """
+    shards = sorted(garr.addressable_shards,
+                    key=lambda sh: sh.index[0].start or 0)
+    return np.concatenate([np.asarray(sh.data) for sh in shards])
+
+
 def evaluate(eval_step,
              params,
              dataloader,
@@ -46,19 +58,30 @@ def evaluate(eval_step,
 
     Returns (score, bound) or the per-answer-type metric dict when
     ``ans_index`` is given. Padded tail rows are masked via ``nvalid``.
+
+    Multi-host: each process scores only the rows it fed (its loader
+    shard), then per-sample results are allgathered and deduplicated by
+    sample id (the sharded Loader wrap-pads short shards with repeats,
+    loader.py shard_length) so the global score and the answer-type
+    breakdown are exact and in dataset order.
     """
+    multihost = jax.process_count() > 1
     score = 0.0
     target_score = 0.0
-    all_score, all_label = [], []
+    all_score, all_label, all_bound, all_id = [], [], [], []
     l = dataloader.num_samples
     start = time.time()
 
     for i, batch in enumerate(dataloader):
         nvalid = int(batch.pop("nvalid"))
+        ids = np.asarray(batch["id"]) if "id" in batch else None
         mb = model_batch(batch)
         if mesh is not None:
             mb = shard_batch(mesh, mb)
         s, label, bound = eval_step(params, mb)
+        if multihost:
+            s, label, bound = (_local_rows(s), _local_rows(label),
+                               _local_rows(bound))
         s = np.asarray(s)[:nvalid]
         label = np.asarray(label)[:nvalid]
         bound = np.asarray(bound)[:nvalid]
@@ -66,8 +89,33 @@ def evaluate(eval_step,
         target_score += float(bound.sum())
         all_score.append(s)
         all_label.append(label)
+        all_bound.append(bound)
+        if ids is not None:
+            all_id.append(ids[:nvalid])
         if writer:
             writer.add_scalar("val/vqa/score", score / l, i)
+
+    if multihost:
+        from jax.experimental import multihost_utils
+        assert all_id, "multi-host evaluate needs sample ids in batches"
+        packed = np.concatenate(
+            [np.concatenate(all_id).astype(np.float64),
+             np.concatenate(all_score).astype(np.float64),
+             np.concatenate(all_label).astype(np.float64),
+             np.concatenate(all_bound).astype(np.float64)])
+        gathered = np.asarray(multihost_utils.process_allgather(packed))
+        per = gathered.shape[-1] // 4
+        ids = gathered[:, 0 * per:1 * per].reshape(-1)
+        scores = gathered[:, 1 * per:2 * per].reshape(-1)
+        labels = gathered[:, 2 * per:3 * per].reshape(-1)
+        bounds = gathered[:, 3 * per:4 * per].reshape(-1)
+        # dedupe wrap-pad repeats; reorder to dataset order for ans_index
+        _, keep = np.unique(ids.astype(np.int64), return_index=True)
+        all_score = [scores[keep].astype(np.float32)]
+        all_label = [labels[keep].astype(np.int32)]
+        l = len(keep)
+        score = float(scores[keep].sum())
+        target_score = float(bounds[keep].sum())
 
     score /= l
     target_score /= l
@@ -168,6 +216,13 @@ def train(model: VQAModel,
                            step=jnp.int32(0), rng=run_key)
     else:
         state = create_train_state(model, tx, sample, seed=seed)
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: host-local init arrays must become global (replicated)
+        # arrays before they can enter the SPMD train step together with the
+        # globally-sharded batches (every host inits identically — same seed,
+        # same shapes — so replication is value-correct)
+        from vqa_tpu.parallel.mesh import replicate_global
+        state = replicate_global(mesh, state)
     # bf16 mixed precision: master params/moments f32, matmuls bf16
     # (PERF.md "bf16 training"); default f32 matches the reference exactly.
     compute_dtype = None
@@ -180,6 +235,9 @@ def train(model: VQAModel,
 
     has_predictor = model.predictor is not None
     best_epoch = start_epoch
+    # multi-host: params are replicated, so only process 0 writes checkpoints
+    # (concurrent same-path writes over a shared FS would race on the .tmp)
+    is_main = jax.process_index() == 0
 
     def val(avg_loss, best_score, best_epoch, epoch, start):
         if has_predictor:
@@ -193,14 +251,30 @@ def train(model: VQAModel,
             # strict > like the reference (train.py:79), but always materialize
             # a best checkpoint on the first validation so downstream val/decode
             # never find it missing (score can legitimately be 0.0 early)
-            if eval_score > best_score or not os.path.exists(best_path):
-                save_checkpoint(best_path, state, epoch, eval_score)
+            if eval_score > best_score or (is_main and
+                                           not os.path.exists(best_path)):
+                if is_main:
+                    save_checkpoint(best_path, state, epoch, eval_score)
                 best_score = eval_score
                 best_epoch = epoch
             logger.show(f"[Result] best epoch: {best_epoch}, "
                         f"score: {best_score:.10f} / {bound:.10f}")
         else:
             logger.show(f"[Epoch {epoch}] avg_loss: {avg_loss:.4f}")
+            # Caption-only runs (predictor 'none') have no val score; the
+            # reference never writes best_model.pt for them and its decode
+            # mode then crashes (main.py:298-302 + train.py:64-87). Track
+            # best-by-train-caption-loss instead (stored as -loss so the
+            # "higher is better" best_score resume semantics still hold).
+            best_path = os.path.join(save_path, "best_model.ckpt")
+            if (-avg_loss) > best_score or (is_main and
+                                            not os.path.exists(best_path)):
+                if is_main:
+                    save_checkpoint(best_path, state, epoch, -avg_loss)
+                best_score = -avg_loss
+                best_epoch = epoch
+            logger.show(f"[Result] best epoch: {best_epoch}, "
+                        f"cap loss: {-best_score:.10f}")
         return best_score, best_epoch
 
     from vqa_tpu.data.loader import prefetch_to_device
@@ -245,12 +319,14 @@ def train(model: VQAModel,
                 best_score, best_epoch = val(avg_loss / steps_per_epoch,
                                              best_score, best_epoch, epoch,
                                              start)
-                save_checkpoint(os.path.join(
-                    save_path, f"epoch_{epoch}_batch_{i}.ckpt"), state, epoch,
-                    best_score)
+                if is_main:
+                    save_checkpoint(os.path.join(
+                        save_path, f"epoch_{epoch}_batch_{i}.ckpt"), state,
+                        epoch, best_score)
 
-        save_checkpoint(os.path.join(save_path, f"epoch_{epoch}.ckpt"),
-                        state, epoch, best_score)
+        if is_main:
+            save_checkpoint(os.path.join(save_path, f"epoch_{epoch}.ckpt"),
+                            state, epoch, best_score)
         best_score, best_epoch = val(avg_loss / steps_per_epoch, best_score,
                                      best_epoch, epoch, start)
         if epoch >= warm_up and step_size != 0:
