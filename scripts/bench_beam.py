@@ -23,7 +23,7 @@ K, C_LEN = 3, 20
 WARMUP, ITERS = 2, 4
 
 
-def run(B, dtype, fused):
+def run(B, dtype, fused, streams=1):
     model = set_model(encoder_type="base", predictor_type="none",
                       decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024,
@@ -43,7 +43,8 @@ def run(B, dtype, fused):
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
     bs = make_beam_search(model, k=K, c_len=C_LEN, start_id=NTOKEN - 3,
-                          end_id=NTOKEN - 2, fused_vocab=fused)
+                          end_id=NTOKEN - 2, fused_vocab=fused,
+                          streams=streams)
 
     def call():
         tokens, scores = bs(params, batch)
@@ -56,15 +57,26 @@ def run(B, dtype, fused):
         t0 = time.perf_counter()
         call()
         best = min(best, time.perf_counter() - t0)
-    name = f"B={B} {dtype.__name__} {'fused-vocab' if fused else 'XLA'}"
-    print(f"{name:40s} {best * 1e3:8.1f} ms   ({B / best:,.0f} captions/s)",
+    name = (f"B={B} {dtype.__name__} {'fused-vocab' if fused else 'XLA'}"
+            f" S={streams}")
+    print(f"{name:44s} {best * 1e3:8.1f} ms   ({B / best:,.0f} captions/s)",
           flush=True)
 
 
 def main():
+    import sys
     print("devices:", jax.devices(), flush=True)
-    for fused in (False, True):
-        run(4096, jnp.bfloat16, fused)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "fused"):
+        for fused in (False, True):
+            run(4096, jnp.bfloat16, fused)
+    if which in ("all", "streams"):
+        # software-pipelined sub-batches: stream B's MXU work fills
+        # stream A's VPU (top_k) tail
+        run(4096, jnp.bfloat16, False, streams=2)
+        run(4096, jnp.bfloat16, False, streams=4)
+        run(8192, jnp.bfloat16, False, streams=2)
+        run(8192, jnp.bfloat16, False, streams=1)
 
 
 if __name__ == "__main__":

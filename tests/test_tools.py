@@ -52,6 +52,21 @@ def test_beam_search_shapes_and_ranking(setup):
     assert np.all(np.asarray(tokens)[:, :, 0] == vocab.start)
 
 
+def test_beam_streams_match_single_stream(setup):
+    """streams=2 (software-pipelined sub-batches) is bit-identical to the
+    plain search; a non-dividing stream count falls back to 1."""
+    model, params, batch = setup
+    vocab = _vocab()
+    kw = dict(k=3, c_len=C_LEN, start_id=vocab.start, end_id=vocab.end)
+    tokens1, scores1 = make_beam_search(model, **kw)(params, batch)
+    tokens2, scores2 = make_beam_search(model, streams=3, **kw)(params, batch)
+    np.testing.assert_array_equal(np.asarray(tokens1), np.asarray(tokens2))
+    np.testing.assert_array_equal(np.asarray(scores1), np.asarray(scores2))
+    # B=3 % 2 != 0 -> falls back to a single stream
+    tokens3, _ = make_beam_search(model, streams=2, **kw)(params, batch)
+    np.testing.assert_array_equal(np.asarray(tokens1), np.asarray(tokens3))
+
+
 def test_beam_k1_matches_greedy(setup):
     """k=1 beam == greedy argmax rollout of the decoder."""
     model, params, batch = setup
@@ -238,6 +253,33 @@ def test_meteor_stem_stage_matches_morphological_variants():
     same = {0: ["a dog plays with the red ball"]}
     assert meteor(refs, same, use_stem=True) == \
         meteor(refs, same, use_stem=False)
+
+
+def test_meteor_beam_alignment_minimizes_chunks():
+    """The jar-style beam aligner finds the contiguous alignment the greedy
+    left-to-right stage misses (VERDICT r2 item 7): hyp 'a b c' aligns to
+    ref[1:4] of 'b a b c' as ONE chunk (greedy matches hyp 'a'->ref[1],
+    'b'->ref[0], 'c'->ref[3]: three chunks)."""
+    from vqa_tpu.tools.metrics import _beam_align, _meteor_single
+    hyp = "a b c".split()
+    ref = "b a b c".split()
+    m, m_w, chunks = _beam_align(hyp, ref, use_stem=False, stem_weight=0.6)
+    assert (m, m_w, chunks) == (3, 3.0, 1)
+    beam = _meteor_single(hyp, ref, use_stem=False, alignment="beam")
+    greedy = _meteor_single(hyp, ref, use_stem=False, alignment="greedy")
+    assert beam > greedy, (beam, greedy)
+    # hand-computed: p=1, r=3/4, fmean=.75/(.9+.075), penalty=.5*(1/3)^3
+    want = (0.75 / 0.975) * (1 - 0.5 * (1 / 3) ** 3)
+    assert abs(beam - want) < 1e-12, (beam, want)
+    # identical sentences: perfect single-chunk alignment either way
+    perfect = _meteor_single(hyp, hyp, use_stem=False, alignment="beam")
+    assert perfect == _meteor_single(hyp, hyp, use_stem=False,
+                                     alignment="greedy")
+    # coverage dominates: beam prefers exact over stem matches at equal
+    # coverage (module weight is the second key)
+    m2, w2, _ = _beam_align("dog".split(), "dog dogs".split(),
+                            use_stem=True, stem_weight=0.6)
+    assert (m2, w2) == (1, 1.0)
 
 
 def test_meteor_stem_vs_exact_ranking_agreement():

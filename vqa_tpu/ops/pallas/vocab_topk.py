@@ -3,7 +3,7 @@
 The beam-search hot loop ends every step with ``logits = h @ W + b`` over
 the full vocabulary followed by per-row top-k and logsumexp
 (`vqa_tpu/tools/beam.py` candidate-shrink; reference loop at
-`/root/reference/tools/beam_search.py:37-87` via generator.py:249-267).
+`/root/reference/tools/caption.py:40-130` via generator.py:249-267).
 XLA materializes the [rows, V] logits in HBM (0.5 GB at rows = 12288,
 V = 20000, bf16), re-reads them for ``top_k`` (a slow multi-pass lane sort
 on TPU), and again for the logsumexp.

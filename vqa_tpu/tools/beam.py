@@ -31,7 +31,8 @@ NEG_INF = -1e9
 
 def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
                      legacy_logit_scores: bool = False,
-                     fused_vocab: bool = False):
+                     fused_vocab: bool = False,
+                     streams: int = 1):
     """Build a jitted ``(params, batch) -> (tokens, scores)`` beam search.
 
     tokens: [B, k, c_len] int32 (beams sorted best-first);
@@ -43,6 +44,14 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
     kernel (GEMM + running top-k + online logsumexp, never materializing the
     [B*k, ntoken] logits — ops/pallas/vocab_topk.py). Same results as the
     XLA path (pinned by tests/test_tools.py); TPU-only fast path.
+
+    ``streams``: software-pipeline S independent sub-batches inside one
+    scan step. A beam step is a serial chain GEMMs (MXU) -> top_k/logsumexp
+    (VPU) -> gathers; with S >= 2 the streams have no data dependencies on
+    each other, so the TPU scheduler can run stream B's MXU work under
+    stream A's VPU tail. Results are bit-identical to streams=1 (pinned by
+    tests/test_tools.py); requires B % streams == 0 (falls back to 1
+    otherwise).
     """
     generator = model.generator
     assert generator is not None, "model has no caption generator"
@@ -64,9 +73,21 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
                            att_cache, method=fn)
 
     def _vocab_params(params):
-        """(w [H, V], b [V]) of the generator's vocab projection."""
+        """(w [H, V], b [V]) of the generator's vocab projection.
+
+        The fused kernel computes ``feat @ w + b`` with no activation, which
+        is exactly both stock decoders' ``_Dense`` vocab heads
+        (models/generator.py fcnet / h2_fcnet). A future weight-normed or
+        activated head must not silently take this path — validate the
+        layout and fail loudly.
+        """
         gp = params["generator"]
         head = gp["h2_fcnet"] if "h2_fcnet" in gp else gp["fcnet"]
+        if set(head.keys()) != {"w", "b"}:
+            raise ValueError(
+                "fused_vocab requires a plain {w, b} _Dense vocab head; "
+                f"generator head has params {sorted(head.keys())} — "
+                "run with fused_vocab=False")
         return head["w"], head["b"]
 
     @jax.jit
@@ -74,29 +95,35 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
         def enc(mdl, b):
             return mdl.encoder(b, deterministic=True)
         embed = model.apply({"params": params}, batch, method=enc)
-        v = embed["v"]                               # [B, objs, v_dim]
-        B, objs, v_dim = v.shape
-        v_mean = jnp.mean(v, axis=1)
+        v_full = embed["v"]                          # [B, objs, v_dim]
+        B_full = v_full.shape[0]
+        S = streams if streams > 1 and B_full % streams == 0 else 1
 
-        # v stays per-image: beam-mode attention (generator.decode beam=k)
-        # reads each image's boxes once for all k beams; only the mean
-        # (a cell input) is tiled to [B*k, v_dim]
-        v_mean_b = jnp.repeat(v_mean, k, axis=0)
-        # the attention v-projection never changes across steps or beam
-        # reorderings (it has no hidden-state input): one GEMM here replaces
-        # c_len-1 GEMMs inside the scan
-        att_cache = _project_v(params, v)
+        def consts_of(v):
+            # v stays per-image: beam-mode attention (generator.decode
+            # beam=k) reads each image's boxes once for all k beams; only
+            # the mean (a cell input) is tiled to [B*k, v_dim]
+            v_mean_b = jnp.repeat(jnp.mean(v, axis=1), k, axis=0)
+            # the attention v-projection never changes across steps or beam
+            # reorderings (it has no hidden-state input): one GEMM here
+            # replaces c_len-1 GEMMs inside the scan
+            return v, v_mean_b, _project_v(params, v)
 
-        tokens0 = jnp.full((B, k, c_len), end_id, jnp.int32)
-        tokens0 = tokens0.at[:, :, 0].set(start_id)
-        # only beam 0 is live initially (avoids k duplicate beams)
-        logp0 = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, NEG_INF
-                          ) * jnp.ones((B, 1))
-        length0 = jnp.ones((B, k), jnp.int32)
-        finished0 = jnp.zeros((B, k), bool)
-        h0 = generator.init_hidden(B * k, v.dtype)
+        def init_of(v):
+            B = v.shape[0]
+            tokens0 = jnp.full((B, k, c_len), end_id, jnp.int32)
+            tokens0 = tokens0.at[:, :, 0].set(start_id)
+            # only beam 0 is live initially (avoids k duplicate beams)
+            logp0 = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, NEG_INF
+                              ) * jnp.ones((B, 1))
+            length0 = jnp.ones((B, k), jnp.int32)
+            finished0 = jnp.zeros((B, k), bool)
+            h0 = generator.init_hidden(B * k, v.dtype)
+            return tokens0, logp0, length0, finished0, h0
 
-        def body(carry, t):
+        def step(consts, carry, t):
+            v, v_mean_b, att_cache = consts
+            B = v.shape[0]
             tokens, logp, length, finished, h = carry
             prev = tokens[:, :, t].reshape(B * k)
             # Candidate shrink: the global top-k over k*V candidates lies in
@@ -158,11 +185,20 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
             # reorder hidden states: flat index = b * k + beam_idx
             flat_idx = (jnp.arange(B)[:, None] * k + beam_idx).reshape(-1)
             h = jax.tree_util.tree_map(lambda s: s[flat_idx], h)
-            return (tokens, top_logp, length, finished, h), None
+            return tokens, top_logp, length, finished, h
 
-        carry = (tokens0, logp0, length0, finished0, h0)
-        (tokens, logp, length, finished, _), _ = jax.lax.scan(
-            body, carry, jnp.arange(c_len - 1))
+        sub = B_full // S
+        consts = [consts_of(v_full[i * sub:(i + 1) * sub]) for i in range(S)]
+
+        def body(carries, t):
+            return tuple(step(consts[i], carries[i], t)
+                         for i in range(S)), None
+
+        carries = tuple(init_of(c[0]) for c in consts)
+        carries, _ = jax.lax.scan(body, carries, jnp.arange(c_len - 1))
+        tokens, logp, length, finished = (
+            jnp.concatenate([c[i] for c in carries], axis=0)
+            for i in range(4))
 
         # length-normalized score (caption.py:24-26), finished beams first
         norm = logp / (length.astype(logp.dtype) - 1 + 1e-6)
