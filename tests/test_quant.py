@@ -134,6 +134,47 @@ def test_model_int8_answer_agreement(rng):
     assert agree >= 0.95, f"answer agreement {agree}"
 
 
+def test_lazy_v_sum_matches_materialized_pooling(rng):
+    """The int8-feed lazy pooling (encoder 'v_sum': att*scale weights
+    applied directly to the int8 payload, VERDICT r2 item 5) equals
+    sum(v_att * dequant(v), axis=1) up to fp reorder, and the predictor
+    consumes it — logits match a predictor fed the materialized v."""
+    from vqa_tpu.models.encoder import BaseEncoder
+    from vqa_tpu.models.predictor import BasePredictor
+    from vqa_tpu.models.wrapper import set_model
+    B, N, D, H = 8, 36, 128, 64
+    img = (rng.standard_normal((B, N, D)) * 0.5).astype(np.float32)
+    img_q, s = map(np.asarray, quantize_features(img))
+    batch = {"img_q": jnp.asarray(img_q), "img_scale": jnp.asarray(s),
+             "q": jnp.asarray(rng.integers(0, 50, (B, 10)), jnp.int32)}
+    enc8 = BaseEncoder(ntoken=50, embed_dim=16, hidden_dim=H, dropout=0.0,
+                       att_type="new", att_dropout=0.0, use_int8=True)
+    params = enc8.init(jax.random.PRNGKey(1), batch)
+    out = enc8.apply(params, batch)
+    assert "v_sum" in out
+    want = np.asarray(jnp.sum(out["v"], axis=1))
+    np.testing.assert_allclose(np.asarray(out["v_sum"]), want,
+                               rtol=1e-5, atol=1e-5)
+    # end-to-end: the int8 model's logits with v_sum == logits computed by
+    # a predictor forced onto the materialized-v path
+    kw = dict(encoder_type="base", predictor_type="base", decoder_type="none",
+              ntoken=50, v_dim=D, embed_dim=16, hidden_dim=H, ans_dim=20,
+              dropout=0.0, att_type="new", att_dropout=0.0)
+    m8 = set_model(use_int8=True, **kw)
+    mparams = m8.init(jax.random.PRNGKey(3), batch)
+    p_lazy, _ = m8.apply(mparams, batch)
+    embed = m8.encoder.apply({"params": mparams["params"]["encoder"]}, batch)
+    embed.pop("v_sum")
+    p_mat = BasePredictor(hidden_dim=H, ans_dim=20, dropout=0.0).apply(
+        {"params": mparams["params"]["predictor"]}, embed)
+    np.testing.assert_allclose(np.asarray(p_lazy), np.asarray(p_mat),
+                               rtol=1e-4, atol=1e-5)
+    # training stays on the materialized path (deterministic=False)
+    out_tr = enc8.apply(params, batch, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+    assert "v_sum" not in out_tr
+
+
 def test_grouped_self_similarity_exact(rng):
     """Block-diagonal image-grouped contraction == the direct batched
     einsum, for group-divisible, partially divisible and prime batches."""

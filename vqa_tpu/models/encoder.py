@@ -130,6 +130,16 @@ class BaseEncoder(nn.Module):
         v = v_att * v
         q = self.q_net(q, deterministic=deterministic)
         out = {"v": v, "q": q, "v_att": v_att}
+        if self.use_int8 and "img_q" in batch and deterministic:
+            # lazy v ("fold the scale into the attention weights"): the
+            # base predictors consume v.sum(1) only, so pool directly over
+            # the int8 payload with att*scale weights — the dequantized
+            # [B, objs, v_dim] features never hit HBM on that path (XLA DCE
+            # drops out['v'] when no head reads it). Replaces the feed
+            # economics of /root/reference/dataset.py:93-104.
+            w = v_att[..., 0] * batch["img_scale"].astype(v.dtype)
+            out["v_sum"] = jnp.einsum("bn,bnd->bd", w,
+                                      batch["img_q"].astype(w.dtype))
         if "c" in batch:
             out["c"] = self.embedding(batch["c"])
             out["c_target"] = batch["c"]
@@ -208,6 +218,9 @@ class RelationEncoder(BaseEncoder):
         if graph_alpha:
             return g_att
         out["v"] = output_v
+        # the GCN branches replaced v; the base encoder's lazy pooled sum
+        # no longer corresponds to it
+        out.pop("v_sum", None)
         return out
 
 

@@ -43,7 +43,11 @@ class BasePredictor(nn.Module):
 
     def __call__(self, batch: Dict[str, Any], *, deterministic: bool = True
                  ) -> jax.Array:
-        v = jnp.sum(batch["v"], axis=1)                      # [B, v_dim]
+        # 'v_sum' = the encoder's lazily pooled attended features (int8 feed
+        # fast path, encoder.py base_forward) — same value as summing the
+        # materialized v up to fp reorder
+        v = (batch["v_sum"] if "v_sum" in batch
+             else jnp.sum(batch["v"], axis=1))               # [B, v_dim]
         v = self.v_net(v, deterministic=deterministic)       # [B, hidden]
         joint = batch["q"] * v
         return self.classifier(joint, deterministic=deterministic)
@@ -60,7 +64,8 @@ class BaseCaptionPredictor(BasePredictor):
 
     def __call__(self, batch: Dict[str, Any], *, deterministic: bool = True
                  ) -> jax.Array:
-        v = jnp.sum(batch["v"], axis=1)
+        v = (batch["v_sum"] if "v_sum" in batch
+             else jnp.sum(batch["v"], axis=1))
         c = self.c_net(self.c_rnn(batch["c"], deterministic=deterministic),
                        deterministic=deterministic)
         v = self.v_net(v, deterministic=deterministic)
