@@ -145,12 +145,32 @@ def preprocessing(vqa_path: str,
             f.write(json.dumps({str(k): v for k, v in cap_token.items()}))
 
 
-def build_graphs(feature_dir: str, graph_dir: str, chunk: int = 256):
-    """Spatial-relation graphs from bbox npz (replaces the out-of-repo step).
+def load_image_sizes(coco_json_path: str):
+    """image id -> (width, height) from a COCO annotation JSON's ``images``
+    section (captions_*.json and instances_*.json both carry it)."""
+    with open(coco_json_path) as f:
+        images = json.load(f).get("images", [])
+    return {int(im["id"]): (float(im["width"]), float(im["height"]))
+            for im in images if "width" in im and "height" in im}
 
-    Image width/height are not stored in the feature npz; the reference's
-    offline step had access to them — here we use the bbox extent (max x1 /
-    max y1) as the image size proxy, documented divergence.
+
+def _image_id_from_npz(name: str) -> int:
+    """COCO_{split}_{12-digit id}.npz -> image id."""
+    return int(name.rsplit("_", 1)[-1].split(".")[0])
+
+
+def build_graphs(feature_dir: str, graph_dir: str, chunk: int = 256,
+                 image_sizes=None):
+    """Spatial-relation graphs from bbox npz (replaces the out-of-repo step,
+    reference util/relation.py:65-79).
+
+    ``image_sizes``: {image_id: (w, h)} from the COCO annotation JSON
+    (``load_image_sizes``) — the reference's offline step used the real
+    image dimensions, and the ``dist <= 0.5*diag`` threshold
+    (util/relation.py:36-38) is sensitive to them. Images missing from the
+    map (or a None map) fall back to the bbox extent (max x1 / max y1) as a
+    proxy; with real sizes the output matches reference-preprocessed
+    ``COCO_graph_36`` exactly.
     """
     os.makedirs(graph_dir, exist_ok=True)
     names = sorted(f for f in os.listdir(feature_dir) if f.endswith(".npz"))
@@ -160,6 +180,11 @@ def build_graphs(feature_dir: str, graph_dir: str, chunk: int = 256):
                            for n in batch_names])
         w = bboxes[:, :, 2].max(axis=1)
         h = bboxes[:, :, 3].max(axis=1)
+        if image_sizes:
+            for i, n in enumerate(batch_names):
+                size = image_sizes.get(_image_id_from_npz(n))
+                if size is not None:
+                    w[i], h[i] = size
         graphs = relation_graphs_batched(bboxes, w, h)
         for i, n in enumerate(batch_names):
             np.savez(os.path.join(graph_dir, n),
@@ -177,7 +202,13 @@ if __name__ == "__main__":
     )
     feat_dir = os.path.join(args.feature_path, args.dataset_type)
     if args.save_graph:
-        build_graphs(feat_dir, os.path.join(args.graph_path, args.dataset_type))
+        sizes = None
+        coco_json = os.path.join(args.coco_path,
+                                 f"captions_{args.dataset_type}.json")
+        if os.path.exists(coco_json):
+            sizes = load_image_sizes(coco_json)
+        build_graphs(feat_dir, os.path.join(args.graph_path, args.dataset_type),
+                     image_sizes=sizes)
     if args.pack_features:
         out_prefix = os.path.join(args.pack_path or args.feature_path,
                                   args.dataset_type)

@@ -108,6 +108,38 @@ def test_batched_graphs_match_scalar_port():
         np.testing.assert_array_equal(got[b], want.astype(np.int8))
 
 
+def test_build_graphs_uses_real_image_sizes(tmp_path):
+    """build_graphs with a COCO-sizes map reproduces relation_graph at the
+    TRUE image w/h (the dist <= 0.5*diag threshold depends on them,
+    reference util/relation.py:36-38) — and differs from the bbox-extent
+    proxy when boxes cover only part of the image."""
+    import json
+    from preprocessing import build_graphs, load_image_sizes
+
+    rng = np.random.default_rng(7)
+    N = 9
+    xy = rng.random((N, 2)) * 150            # boxes only span ~150px
+    wh = rng.random((N, 2)) * 40 + 5
+    bbox = np.concatenate([xy, xy + wh], axis=1)
+    feat = tmp_path / "feat"
+    feat.mkdir()
+    np.savez(feat / "COCO_train2014_000000000042.npz",
+             x=np.zeros((N, 4), np.float32), bbox=bbox)
+    coco = {"images": [{"id": 42, "width": 640, "height": 480}]}
+    coco_json = tmp_path / "captions_train2014.json"
+    coco_json.write_text(json.dumps(coco))
+
+    out = tmp_path / "graphs"
+    build_graphs(str(feat), str(out),
+                 image_sizes=load_image_sizes(str(coco_json)))
+    got = np.load(out / "COCO_train2014_000000000042.npz")["graph"]
+    want = relation_graph(bbox, 640.0, 480.0)
+    np.testing.assert_array_equal(got, want.astype(np.float64))
+    # the proxy (bbox extent ~150x190) would produce a different graph here
+    proxy = relation_graph(bbox, bbox[:, 2].max(), bbox[:, 3].max())
+    assert not np.array_equal(want, proxy)
+
+
 # ---------------------------------------------------------------- datasets
 
 def _ds(root, dataset_type, graph=False):

@@ -145,7 +145,13 @@ def _translate_path(dotted: str) -> List[str]:
 
 
 def convert(src: str, dst: str) -> List[str]:
-    """Load a torch .pt state_dict, convert, write a params-only .ckpt."""
+    """Load a torch .pt state_dict, convert, write a params-only .ckpt.
+
+    The output carries no optimizer state (the reference never saved any,
+    SURVEY.md section 5.4): it is for eval/decode (``load_params``) or warm
+    start (``merge_params``); ``load_checkpoint`` refuses to resume training
+    from it with a clear error.
+    """
     import torch
     from flax import serialization
 

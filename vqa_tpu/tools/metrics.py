@@ -11,12 +11,15 @@ available in this environment:
 - **CIDEr** — tf-idf n-gram cosine with reference-corpus document
   frequencies, Gaussian length penalty sigma=6, x10 (pycocoevalcap
   cider_scorer.py semantics).
-- **METEOR** — staged exact + Porter-stem alignment (METEOR 1.5 modules 1-2
-  with the English stem-module weight 0.6; alpha=0.9 harmonic mean, chunk
-  fragmentation penalty gamma=0.5, beta=3). The reference wraps the Java
-  METEOR 1.5 jar; its synonym/paraphrase modules need WordNet/paraphrase
-  tables and remain the documented gap — the exact-only variant is kept as
-  ``meteor(..., use_stem=False)`` and the ranking agreement between the two
+- **METEOR** — exact + Porter-stem matching (METEOR 1.5 modules 1-2 with
+  the English stem-module weight 0.6; alpha=0.9 harmonic mean, chunk
+  fragmentation penalty gamma=0.5, beta=3), resolved by the jar Aligner's
+  beam search (max coverage -> max module weight -> min chunks -> min total
+  distance, beam 40 — exhaustive at caption lengths). The reference wraps
+  the Java METEOR 1.5 jar; its synonym/paraphrase modules need
+  WordNet/paraphrase tables and remain the documented gap — the exact-only
+  variant is kept as ``meteor(..., use_stem=False)``, the earlier greedy
+  alignment as ``alignment='greedy'``, and the agreement between variants
   is pinned in tests/test_tools.py.
 
 API mirrors cap_eval.score: ``score(refs, hyps) -> {metric: value}`` where
@@ -166,51 +169,119 @@ def _align_stage(hyp: List[str], ref: List[str], hyp_used, ref_used,
     return pairs
 
 
+_BEAM = 40  # the METEOR 1.5 Aligner's beam width
+
+
+def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
+                stem_weight: float) -> Tuple[int, float, int]:
+    """METEOR 1.5 Aligner-style beam search -> (matches, weight, chunks).
+
+    Candidate matches: exact (weight 1.0) else Porter-stem equal (module
+    weight ``stem_weight``). The search walks hypothesis positions left to
+    right, each step either skipping the word or matching it to an unused
+    reference position; partial alignments are ranked by the jar's
+    resolution order — most words covered, then highest module weight, then
+    fewest chunks, then smallest total match distance — keeping the top
+    ``_BEAM`` states. At caption lengths (<= ~20 tokens) this is effectively
+    exhaustive.
+    """
+    if use_stem:
+        from vqa_tpu.tools.porter import porter_stem
+        hyp_stem = [porter_stem(w) for w in hyp]
+        ref_stem = [porter_stem(w) for w in ref]
+    cands: List[List[Tuple[int, float]]] = []
+    for i, w in enumerate(hyp):
+        row = []
+        for j, rw in enumerate(ref):
+            if w == rw:
+                row.append((j, 1.0))
+            elif use_stem and hyp_stem[i] == ref_stem[j]:
+                row.append((j, stem_weight))
+        cands.append(row)
+
+    # state: (covered, weight, -chunks, -dist, ref_mask, last_i, last_j)
+    states = [(0, 0.0, 0, 0, 0, -2, -2)]
+    for i, row in enumerate(cands):
+        nxt = list(states)  # skipping word i is always an option
+        if row:
+            for covered, weight, nchunks, ndist, mask, li, lj in states:
+                for j, w8 in row:
+                    if mask >> j & 1:
+                        continue
+                    contiguous = (li == i - 1 and lj == j - 1)
+                    nxt.append((covered + 1, weight + w8,
+                                nchunks - (0 if contiguous else 1),
+                                ndist - abs(i - j), mask | (1 << j), i, j))
+        nxt.sort(key=lambda s: s[:4], reverse=True)
+        # dedupe identical (mask, last match) states, keep the best-ranked
+        seen = set()
+        states = []
+        for s in nxt:
+            sig = (s[4], s[5], s[6])
+            if sig in seen:
+                continue
+            seen.add(sig)
+            states.append(s)
+            if len(states) == _BEAM:
+                break
+    best = states[0]
+    return best[0], best[1], -best[2]
+
+
 def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
                    gamma=0.5, use_stem: bool = True,
-                   stem_weight: float = 0.6) -> float:
+                   stem_weight: float = 0.6,
+                   alignment: str = "beam") -> float:
     """METEOR for one hypothesis/reference pair.
 
-    Staged alignment per METEOR 1.5: module 1 exact matches, then module 2
-    Porter-stem matches over the leftovers (module weight 0.6, the METEOR
-    1.5 English default). The jar's synonym/paraphrase modules need
-    WordNet/a paraphrase table and remain the documented gap; the alignment
-    here is greedy left-to-right rather than beam-searched (both documented
-    approximations, quantified in tests/test_tools.py ranking-agreement).
+    Matches per METEOR 1.5 modules 1-2: exact (weight 1.0) + Porter-stem
+    (weight 0.6, the METEOR 1.5 English default). ``alignment='beam'``
+    resolves the match set the way the jar's Aligner does (beam search:
+    max coverage -> max weight -> min chunks -> min distance);
+    ``alignment='greedy'`` keeps the earlier staged left-to-right greedy
+    (cheaper, kept for comparison). The jar's synonym/paraphrase modules
+    need WordNet/a paraphrase table and remain the documented gap
+    (reference pipeline: /root/reference/cap_eval.py:25-28).
     """
     if not hyp or not ref:
         return 0.0
-    hyp_used = [False] * len(hyp)
-    ref_used = [False] * len(ref)
-    exact = _align_stage(hyp, ref, hyp_used, ref_used, lambda w: w)
-    stem: List[Tuple[int, int]] = []
-    if use_stem:
-        from vqa_tpu.tools.porter import porter_stem
-        stem = _align_stage(hyp, ref, hyp_used, ref_used, porter_stem)
-    align = sorted(exact + stem)
-    m = len(align)
-    if m == 0:
-        return 0.0
-    # module-weighted match mass for precision/recall (METEOR 1.5 weights:
-    # exact 1.0, stem 0.6); the chunk penalty counts matches unweighted.
-    m_w = len(exact) + stem_weight * len(stem)
+    if alignment == "beam":
+        m, m_w, chunks = _beam_align(hyp, ref, use_stem, stem_weight)
+        if m == 0:
+            return 0.0
+    else:
+        hyp_used = [False] * len(hyp)
+        ref_used = [False] * len(ref)
+        exact = _align_stage(hyp, ref, hyp_used, ref_used, lambda w: w)
+        stem: List[Tuple[int, int]] = []
+        if use_stem:
+            from vqa_tpu.tools.porter import porter_stem
+            stem = _align_stage(hyp, ref, hyp_used, ref_used, porter_stem)
+        align = sorted(exact + stem)
+        m = len(align)
+        if m == 0:
+            return 0.0
+        m_w = len(exact) + stem_weight * len(stem)
+        chunks = 1
+        for (i1, j1), (i2, j2) in zip(align, align[1:]):
+            if i2 != i1 + 1 or j2 != j1 + 1:
+                chunks += 1
+    # module-weighted match mass for precision/recall; the chunk penalty
+    # counts matches unweighted (METEOR 1.5 semantics).
     p = m_w / len(hyp)
     r = m_w / len(ref)
     fmean = p * r / (alpha * p + (1 - alpha) * r)
-    # chunk count: contiguous in both hyp and ref order
-    chunks = 1
-    for (i1, j1), (i2, j2) in zip(align, align[1:]):
-        if i2 != i1 + 1 or j2 != j1 + 1:
-            chunks += 1
     penalty = gamma * (chunks / m) ** beta
     return fmean * (1 - penalty)
 
 
-def meteor(refs: Dict, hyps: Dict, use_stem: bool = True) -> float:
+def meteor(refs: Dict, hyps: Dict, use_stem: bool = True,
+           alignment: str = "beam") -> float:
     scores = []
     for key in hyps:
         hyp = hyps[key][0].split()
-        scores.append(max(_meteor_single(hyp, r.split(), use_stem=use_stem)
+        scores.append(max(_meteor_single(hyp, r.split(), use_stem=use_stem,
+                                         alignment=alignment)
                           for r in refs[key]))
     return sum(scores) / max(len(scores), 1)
 
