@@ -117,8 +117,13 @@ def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
         # batch_size is per host (global batch = batch_size * process_count)
         return Loader.for_process(ds, args.batch_size, shuffle=shuffle,
                                   seed=args.seed, transform=transform)
+    # caption length bucketing: training feed only (decode/eval runs the
+    # generator at full max_len regardless)
+    bucket = bool(getattr(args, "length_bucket", 0)) and is_train \
+        and args.decoder_type != "none"
     return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed,
-                  transform=transform)
+                  transform=transform, length_bucket=bucket,
+                  bucket_bounds=(8, 12, 16, args.c_len))
 
 
 def main():
@@ -160,7 +165,9 @@ def main():
                 warm_up=args.warm_up, step_size=args.step_size,
                 gamma=args.gamma, steps_per_epoch=steps)
             sample = model_batch(next(iter(train_loader)))
-            blank = create_train_state(model, tx, sample, seed=args.seed)
+            blank = create_train_state(
+                model, tx, sample, seed=args.seed,
+                prng_impl=getattr(args, "prng_impl", None) or None)
             restored = load_checkpoint(path, blank)
             init_state = restored["state"]
             best_score = restored["best_score"]
@@ -174,7 +181,9 @@ def main():
                 warm_up=args.warm_up, step_size=args.step_size,
                 gamma=args.gamma, steps_per_epoch=steps)
             sample = model_batch(next(iter(train_loader)))
-            blank = create_train_state(model, tx, sample, seed=args.seed)
+            blank = create_train_state(
+                model, tx, sample, seed=args.seed,
+                prng_impl=getattr(args, "prng_impl", None) or None)
             from vqa_tpu.training.checkpoint import merge_params
             merged = merge_params(blank.params, load_params(path))
             init_state = blank.replace(params=merged)
@@ -199,7 +208,8 @@ def main():
                       val_checkpoint=val_checkpoint, seed=args.seed,
                       mesh=mesh, init_state=init_state,
                       profile_dir=args.profile_dir or None,
-                      train_dtype=getattr(args, "train_dtype", "float32"))
+                      train_dtype=getattr(args, "train_dtype", "float32"),
+                      prng_impl=getattr(args, "prng_impl", None) or None)
         if getattr(args, "train_strategy", "joint") == "select":
             # max-relevance candidate training over the all-captions dataset
             from vqa_tpu.data.dataset import set_dataset as _sd

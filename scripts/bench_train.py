@@ -24,12 +24,15 @@ NTOKEN, ANS = 20000, 3129
 WARMUP, ITERS, REPS = 1, 3, 8
 
 
-def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True):
+def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
+        remat=True, clen=CLEN):
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd" if caption else "none",
                       ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
                       hidden_dim=1024, decoder_hidden_dim=1024, ans_dim=ANS,
                       c_len=CLEN, att_type="new", use_mtl=caption)
+    if caption and not remat:
+        model = model.clone(generator=model.generator.clone(remat_scan=False))
     if not fused_cap:
         from vqa_tpu.models.wrapper import VQAModel
         model = VQAModel(encoder=model.encoder, predictor=model.predictor,
@@ -43,10 +46,12 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True):
         "a": jnp.asarray((rng.random((B, ANS)) < 0.01).astype(np.float32)),
     }
     if caption:
-        batch["c"] = jnp.asarray(rng.integers(0, NTOKEN, (B, CLEN)),
+        # clen < CLEN emulates a length-bucketed batch (loader truncates
+        # the caption axis to the bucket bound; see data/loader.py)
+        batch["c"] = jnp.asarray(rng.integers(0, NTOKEN, (B, clen)),
                                  dtype=jnp.int32)
         batch["cap_len"] = jnp.asarray(
-            rng.integers(5, CLEN + 1, (B,)).astype(np.int32))
+            rng.integers(5, clen + 1, (B,)).astype(np.int32))
 
     tx = optim_lib.make_optimizer(lr=2e-3, max_norm=0.25, warm_up=1,
                                   step_size=2, gamma=0.5,
@@ -54,7 +59,7 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True):
     params = model.init(jax.random.PRNGKey(0),
                         {k: v[:8] for k, v in batch.items()})["params"]
     state = TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.int32(0), rng=jax.random.key(0))
+                      step=jnp.int32(0), rng=jax.random.key(0, impl="rbg"))
     inner = make_train_step(model, tx, compute_dtype=compute_dtype)
 
     @jax.jit
@@ -96,6 +101,11 @@ def main():
             caption=True, compute_dtype=jnp.bfloat16, B=2048)
         run("MTL VQA+BUTD, B=4096, bf16, fused cap loss",
             caption=True, compute_dtype=jnp.bfloat16, B=4096)
+        run("MTL VQA+BUTD, B=4096, bf16, fused, c=12 bucket",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12)
+        # remat=False stacks the [T, B, objs, H] attention joint (5.3 GB at
+        # B=4096 — OOM on 16 GB); only viable at small batch, kept for the
+        # record: run(..., B=1024, remat=False)
 
 
 if __name__ == "__main__":

@@ -289,3 +289,18 @@ def test_train_int8_feed(workdir):
     ]), cwd=path)
     ckpt = path / "checkpoint" / "cli_int8"
     assert (ckpt / "best_model.ckpt").exists()
+
+
+def test_train_with_length_bucketing(workdir):
+    """--length_bucket 1: bucketed caption batches train through the CLI
+    (MTL config shape) and produce finite losses + the usual artifacts."""
+    path, root = workdir
+    proc = run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_bucket",
+        "--predictor_type", "base", "--decoder_type", "butd",
+        "--use_mtl", "1", "--length_bucket", "1",
+        "--c_len", str(root["c_len"]),
+    ]), cwd=path)
+    ckpt = path / "checkpoint" / "cli_bucket"
+    assert (ckpt / "epoch_0.ckpt").exists()
+    assert "nan" not in proc.stdout.lower().split("avg_loss")[-1][:40]

@@ -328,3 +328,35 @@ def test_int8_feed_from_packed_shards(root, tmp_path):
     batch = ds.get_batch([0, 1, 2])
     assert batch["img_q"].dtype == np.int8
     assert batch["img_scale"].dtype == np.float32
+
+
+# ------------------------------------------------------- length bucketing
+
+def test_loader_length_bucketing(root):
+    """--length_bucket: full coverage, per-batch caption axis truncated to
+    its bucket bound, every sample's cap_len <= the batch's bound."""
+    ds = _ds(root, "vqa-e")
+    bounds = (4, 6, root["c_len"])
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=7,
+                    length_bucket=True, bucket_bounds=bounds)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    seen = []
+    for b in batches:
+        t = b["c"].shape[1]
+        # bound + 1: one padded position survives (max-pool zero sentinel)
+        assert t in [min(bd + 1, root["c_len"]) for bd in bounds]
+        n = int(b["nvalid"])
+        assert np.all(b["cap_len"][:n]
+                      <= (t if t == root["c_len"] else t - 1))
+        seen.extend(b["id"][:n].tolist())
+    assert sorted(seen) == list(range(len(ds)))
+
+
+def test_loader_bucketing_deterministic(root):
+    ds = _ds(root, "vqa-e")
+    kw = dict(batch_size=4, shuffle=True, length_bucket=True,
+              bucket_bounds=(4, 6, root["c_len"]))
+    a = [b["id"].tolist() for b in Loader(ds, seed=3, **kw)]
+    b = [b["id"].tolist() for b in Loader(ds, seed=3, **kw)]
+    assert a == b

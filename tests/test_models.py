@@ -311,3 +311,28 @@ def test_scan_teacher_forcing_matches_unrolled(rng, decoder_type):
     s1 = jax.tree_util.tree_structure(params)
     s2 = jax.tree_util.tree_structure(unrolled.init(jax.random.key(0), batch))
     assert s1 == s2
+
+
+def test_caption_loss_truncated_axis_matches_full(rng):
+    """A length-bucketed batch (caption axis truncated to >= max cap_len + 1,
+    data/loader.py) yields the identical loss: every dropped decode step is
+    masked zero either way. Pinned with the caption-free base predictor —
+    caption-reading heads (base-cap) run their GRU across the padded tail
+    (reference quirk), so under bucketing that pad noise is absent
+    (PARITY.md 'Length bucketing')."""
+    model, params, batch = build(rng, decoder_type="butd",
+                                 predictor_type="base", use_mtl=True)
+    # force captions short enough that truncation is a real cut
+    batch["cap_len"] = np.minimum(np.asarray(batch["cap_len"]), C_LEN - 3)
+    bound = int(np.max(np.asarray(batch["cap_len"])))
+    assert bound + 1 < C_LEN
+    full_loss, _ = model.apply(params, batch, method="get_loss",
+                               deterministic=True)
+    short = dict(batch)
+    # bound + 1 mirrors the loader: one padded position survives so the
+    # caption max-pool's zero sentinel is present exactly as at full length
+    short["c"] = batch["c"][:, :bound + 1]
+    short_loss, _ = model.apply(params, short, method="get_loss",
+                                deterministic=True)
+    np.testing.assert_allclose(float(short_loss), float(full_loss),
+                               rtol=1e-5)

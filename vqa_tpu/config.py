@@ -166,6 +166,27 @@ def parse_args(argv=None):
                              "while the MXU runs ~2x faster; pass "
                              "--train_dtype float32 for bit-exact "
                              "reference-recipe numerics")
+    parser.add_argument("--length_bucket", type=int, default=0,
+                        help="bucket training batches by caption length and "
+                             "truncate the caption axis to the bucket bound "
+                             "(8/12/16/c_len): the decoder scan skips "
+                             "all-masked steps — identical loss per sample, "
+                             "~1.5x caption-training throughput at real "
+                             "caption lengths. Batch composition diverges "
+                             "from the reference's uniform shuffle, and "
+                             "caption-reading heads (base-cap/q-cap) no "
+                             "longer see the padded-tail RNN noise "
+                             "(PARITY.md 'Length bucketing'); single-host "
+                             "only")
+    parser.add_argument("--prng_impl", type=str, default="rbg",
+                        help="dropout PRNG implementation (rbg | "
+                             "threefry2x32). Default rbg: XLA's hardware "
+                             "RngBitGenerator — threefry mask generation "
+                             "dominated the caption-decoder train step on "
+                             "TPU (PERF.md 'MTL train step'). Pass "
+                             "threefry2x32 to reproduce dropout streams "
+                             "from runs before this flag existed; both are "
+                             "valid dropout, only the random stream differs")
     parser.add_argument("--val_every", type=int, default=0,
                         help="validate every N batches mid-epoch (0 keeps the "
                              "reference's samples-modulus quirk, train.py:121)")

@@ -199,6 +199,17 @@ class VQACaptionAllDataset(VQADataset):
         out["cap_len"] = np.asarray([c[1] for c in caps], np.int32)
         return out
 
+    @property
+    def cap_lens(self) -> np.ndarray:
+        """Per-index caption lengths (index arithmetic is deterministic, so
+        the length bucketing loader can plan an epoch without batch I/O)."""
+        if getattr(self, "_cap_lens", None) is None:
+            n = len(self.questions)
+            self._cap_lens = np.asarray(
+                [self._caption_for(i % n, i // n)[1]
+                 for i in range(len(self))], np.int32)
+        return self._cap_lens
+
     def get_batch_all(self, indices):
         """All candidate captions per question: c_all [B, n_cap, c_len],
         cap_len_all [B, n_cap] — the max-relevance training feed
@@ -226,6 +237,14 @@ class VQACaptionDataset(VQACaptionAllDataset):
 
     def __len__(self):
         return len(self.questions)
+
+    @property
+    def cap_lens(self) -> np.ndarray:
+        if getattr(self, "_cap_lens", None) is None:
+            self._cap_lens = np.asarray(
+                [self._caption_for(i, self.caption_id[i])[1]
+                 for i in range(len(self))], np.int32)
+        return self._cap_lens
 
     def get_batch(self, indices):
         out = self._vqa_batch(indices)

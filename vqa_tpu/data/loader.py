@@ -39,7 +39,9 @@ class Loader:
                  batch_method: str = "get_batch",
                  length: Optional[int] = None,
                  num_shards: int = 1,
-                 shard_id: int = 0):
+                 shard_id: int = 0,
+                 length_bucket: bool = False,
+                 bucket_bounds: tuple = (8, 12, 16, 20)):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,6 +62,26 @@ class Loader:
         assert 0 <= shard_id < num_shards, (shard_id, num_shards)
         self.num_shards = num_shards
         self.shard_id = shard_id
+        # Caption length bucketing (training feed): group samples whose
+        # cap_len falls in the same bucket and truncate the batch's caption
+        # axis to the bucket bound — the decoder scan then runs bound-1
+        # steps instead of c_len-1 (real captions average ~10 of 20 tokens,
+        # so ~45% of the reference-shaped decode work is masked padding;
+        # PERF.md "MTL train step"). Loss-equivalent: every step beyond a
+        # sample's cap_len is masked to zero either way. Batch COMPOSITION
+        # differs from the reference's uniform shuffle (documented
+        # divergence; off by default, --length_bucket). One compiled step
+        # per distinct bound.
+        self.length_bucket = length_bucket
+        self.bucket_bounds = tuple(sorted(bucket_bounds))
+        if length_bucket:
+            assert num_shards == 1, (
+                "length_bucket with multi-host sharding would need "
+                "host-synchronized bucket schedules (different caption "
+                "lengths per host deadlock lockstep collectives); disable "
+                "one of them")
+            assert getattr(dataset, "cap_lens", None) is not None, (
+                "length_bucket needs dataset.cap_lens (caption datasets)")
 
     @classmethod
     def for_process(cls, dataset, batch_size, **kw):
@@ -79,19 +101,69 @@ class Loader:
         return (self.length + self.num_shards - 1) // self.num_shards
 
     def __len__(self) -> int:
+        if self.length_bucket:
+            counts = self._bucket_counts()
+            if self.drop_last:
+                return sum(c // self.batch_size for c in counts)
+            return sum(-(-c // self.batch_size) for c in counts if c)
         n = self.shard_length
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _bucket_of(self, lens: np.ndarray) -> np.ndarray:
+        """Index of the first bound >= len (lengths above the last bound
+        share the last bucket)."""
+        bounds = np.asarray(self.bucket_bounds)
+        return np.minimum(np.searchsorted(bounds, lens), len(bounds) - 1)
+
+    def _bucket_counts(self):
+        lens = np.asarray(self.dataset.cap_lens)[:self.length]
+        which = self._bucket_of(lens)
+        return [int(np.sum(which == b)) for b in range(len(self.bucket_bounds))]
+
     @property
     def num_samples(self) -> int:
         return self.shard_length
+
+    def _bucketed_batches(self, order) -> Iterator[Dict[str, np.ndarray]]:
+        lens = np.asarray(self.dataset.cap_lens)
+        which = self._bucket_of(lens[order])
+        plan = []                                  # (idx [batch_size], nvalid, bound)
+        for b, bound in enumerate(self.bucket_bounds):
+            members = order[which == b]
+            for start in range(0, len(members), self.batch_size):
+                idx = members[start:start + self.batch_size]
+                nvalid = len(idx)
+                if nvalid < self.batch_size:
+                    if self.drop_last:
+                        continue
+                    pad = np.full(self.batch_size - nvalid, idx[0])
+                    idx = np.concatenate([idx, pad])
+                plan.append((idx, nvalid, bound))
+        if self.shuffle:                           # interleave buckets
+            self.rng.shuffle(plan)
+        for idx, nvalid, bound in plan:
+            batch = getattr(self.dataset, self.batch_method)(list(idx))
+            batch["nvalid"] = np.int32(nvalid)
+            # keep ONE padded position beyond the bound: CaptionEmbedding's
+            # max-pool zero-fills padded steps, so a row whose valid
+            # activations are all negative pools to 0 — that zero candidate
+            # must survive truncation for caption-reading predictors to be
+            # bit-equal to the full-length batch (ops/caption.py quirk note)
+            if "c" in batch and bound + 1 < batch["c"].shape[1]:
+                batch["c"] = batch["c"][:, :bound + 1]
+            if self.transform is not None:
+                batch = self.transform(batch)
+            yield batch
 
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         # epoch-stable permutation: every shard derives the same order
         order = (self.rng.permutation(self.length) if self.shuffle
                  else np.arange(self.length))
+        if self.length_bucket:
+            yield from self._bucketed_batches(order)
+            return
         if self.num_shards > 1:
             order = order[self.shard_id::self.num_shards]
             short = self.shard_length - len(order)

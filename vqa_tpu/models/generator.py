@@ -75,6 +75,16 @@ class DecoderBase(nn.Module):
     # kept as the parity reference — identical outputs, see
     # tests/test_models.py::test_scan_teacher_forcing_matches_unrolled)
     use_scan: bool = True
+    # remat the teacher-forcing scan body: the backward recomputes each
+    # step's cells + attention from the carried hidden states instead of
+    # stacking every intermediate. With the vocab head hoisted out of the
+    # scan the stacked intermediates are all [B, <=3H]-sized, so both
+    # layouts are viable — measured on TPU in PERF.md "MTL train step".
+    remat_scan: bool = True
+
+    def hoisted_gates(self, v_mean, prev_dim: int):
+        """Loop-invariant input-gate cache (BUTD overrides; None = n/a)."""
+        return None
 
     def _make_attention(self):
         kwargs = {"hidden_dim": self.hidden_dim, "name": "attention"}
@@ -161,14 +171,17 @@ class DecoderBase(nn.Module):
         step — reference hot loop at
         `/root/reference/modules/generator.py:66-120` + wrapper.py:32-36):
 
-        - the per-step CE (log_softmax + gather) runs inside the scan body,
-          so the [B, T, ntoken] logits are never stacked to HBM — neither
-          in the forward nor as a [B, T, ntoken] cotangent in the backward;
-        - the scan body is rematerialized (``nn.remat``): the backward
-          recomputes each step's activations from the small carried hidden
-          states instead of stacking every intermediate
-          (dynamic-update-slice traffic was ~23 ms of the 85.6 ms MTL step
-          at B=512, PERF.md "MTL train step").
+        - the scan body is cells + attention only, rematerialized
+          (``nn.remat``): the backward recomputes each step from the small
+          carried hidden states; the vocab head + CE run ONCE on the
+          stacked [B, T, H] features after the scan (``_vocab_ce_sum``);
+        - loop-invariant work is hoisted: attention's v projection
+          (``project_v``) and the word-RNN's v_mean input-gate slice
+          (``hoisted_gates``);
+        - the time axis follows ``batch['c']``: a length-bucketing loader
+          (data/loader.py) may hand a caption axis truncated below c_len,
+          shrinking the number of scanned steps with identical loss (every
+          dropped step is masked zero).
 
         Returns {'loss': scalar masked mean CE, 'mask_sum': scalar}.
         """
@@ -178,40 +191,118 @@ class DecoderBase(nn.Module):
         target = batch["c_target"]
         batch_size = v.shape[0]
         v_mean = jnp.mean(v, axis=1)
-        steps = self.max_len - 1
+        steps = caption.shape[1] - 1
 
         h = self.init_hidden(batch_size, v.dtype)
         att_cache = self.project_v(v)
+        v_gates = self.hoisted_gates(v_mean, caption.shape[-1])
         mask = (jnp.arange(steps)[None, :] < (cap_len[:, None] - 1))
         acc_dtype = jnp.promote_types(v.dtype, jnp.float32)
         mask = mask.astype(acc_dtype)
 
-        def body(mdl, carry, xs):
-            prev, tgt_t, mask_t = xs
-            h, nll_acc = carry
-            h, logits, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev, h=h,
-                                      att_cache=att_cache,
-                                      deterministic=deterministic)
-            # loss math in >=f32 (see wrapper._at_least_f32 rationale)
-            logp = jax.nn.log_softmax(logits.astype(acc_dtype), axis=-1)
-            nll = -jnp.take_along_axis(logp, tgt_t[:, None], axis=-1)[:, 0]
-            return (h, nll_acc + jnp.sum(nll * mask_t)), None
+        def body(mdl, h, prev):
+            # vocab head deliberately NOT applied here: the scan emits the
+            # pre-logit features and ONE batched [B*steps, H] x [H, ntoken]
+            # GEMM + CE runs after the scan. Per-step [B, ntoken] GEMMs ran
+            # at ~50% MXU and their CE epilogues + remat recompute dominated
+            # the step (PERF.md "MTL train step", round 3); batching the
+            # head also shrinks the remat'd body to cells + attention.
+            h, feat, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                    att_cache=att_cache,
+                                    deterministic=deterministic,
+                                    return_features=True,
+                                    v_gate_cache=v_gates)
+            return h, feat
 
-        body = nn.remat(body, prevent_cse=False)
+        if self.remat_scan:
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True},
                        in_axes=1, out_axes=1)
-        xs = (caption[:, :steps, :], target[:, 1:self.max_len], mask)
-        (_, nll_sum), _ = scan(self, (h, jnp.zeros((), acc_dtype)), xs)
+        _, feats = scan(self, h, caption[:, :steps, :])  # [B, steps, H]
+        tgt = target[:, 1:steps + 1]                      # [B, steps]
+        nll_sum = self._vocab_ce_sum(feats, tgt, mask, acc_dtype)
         mask_sum = jnp.sum(mask)
         return {"loss": nll_sum / jnp.maximum(mask_sum, 1.0),
                 "mask_sum": mask_sum}
+
+    def _ce_rows(self, feats: jax.Array, target: jax.Array,
+                 mask: jax.Array, acc_dtype) -> jax.Array:
+        """sum over rows of mask * (lse(head(feat)) - logit[target]).
+
+        One batched vocab GEMM for all rows; nll = lse - logits[target]
+        (reductions + one gather in >=f32) — the [rows, ntoken] log_softmax
+        array never materializes. Hand-rolled shifted logsumexp: each upcast
+        chain has a single consumer so XLA fuses cast+sub+exp into the
+        reduce — a two-consumer logits.astype(f32) materializes a [rows, V]
+        f32 copy (6.2 GB at B=4096, OOM on a 16 GB chip). max of bf16 is an
+        exact value pick, and f32-subtracting exactly-representable bf16
+        values is exact, so this equals logsumexp(logits.astype(f32)).
+        """
+        logits = self.vocab_head()(feats)                    # [rows, V]
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        lse = (m[..., 0].astype(acc_dtype)
+               + jnp.log(jnp.sum(jnp.exp(logits.astype(acc_dtype)
+                                         - m.astype(acc_dtype)), axis=-1)))
+        tgt = jnp.take_along_axis(logits, target[..., None],
+                                  axis=-1)[..., 0].astype(acc_dtype)
+        return jnp.sum((lse - tgt) * mask)
+
+    # keep one chunk's logits under ~1 GB: bigger chunks don't speed the
+    # GEMM further and two [rows, V] transients (logits + cotangent) have
+    # to coexist in the backward
+    _CE_CHUNK_BYTES = 1 << 30
+
+    def _vocab_ce_sum(self, feats: jax.Array, target: jax.Array,
+                      mask: jax.Array, acc_dtype) -> jax.Array:
+        """Masked CE sum over [B, T] with the logits working set bounded.
+
+        Flattens to [B*T] rows and, when one batched GEMM's logits would
+        exceed ``_CE_CHUNK_BYTES``, processes row chunks in an ``nn.scan``
+        with a remat'd body: chunks run sequentially (XLA reuses the chunk
+        buffers across loop iterations) and the backward recomputes each
+        chunk's logits from the saved [rows, H] features, so peak HBM holds
+        one chunk's logits + cotangent instead of the full [B*T, V] pair.
+        """
+        B, T, H = feats.shape
+        rows = B * T
+        feats = feats.reshape(rows, H)
+        target = target.reshape(rows)
+        mask = mask.reshape(rows)
+        n = max(1, -(-(rows * self.ntoken * feats.dtype.itemsize)
+                     // self._CE_CHUNK_BYTES))
+        if n == 1:
+            return self._ce_rows(feats, target, mask, acc_dtype)
+        rc = -(-rows // n)
+        pad = n * rc - rows
+        if pad:
+            feats = jnp.pad(feats, ((0, pad), (0, 0)))
+            target = jnp.pad(target, (0, pad))
+            mask = jnp.pad(mask, (0, pad))  # padded rows: mask 0 => nll 0
+
+        # unrolled chunk loop (NOT nn.scan: its xs/carry stacking added
+        # ~20 ms/step of dynamic-update-slice traffic at B=4096); each
+        # chunk is remat'd so the backward recomputes that chunk's logits
+        # and the serial add chain keeps the chunks' buffers from
+        # coexisting
+        def chunk(mdl, f_c, t_c, m_c):
+            return mdl._ce_rows(f_c, t_c, m_c, acc_dtype)
+
+        chunk = nn.remat(chunk, prevent_cse=False)
+        nll_sum = jnp.zeros((), acc_dtype)
+        for i in range(n):
+            sl = slice(i * rc, (i + 1) * rc)
+            nll_sum = nll_sum + chunk(self, feats[sl], target[sl], mask[sl])
+        return nll_sum
 
 
 class BaseDecoder(DecoderBase):
     """Show-Attend-Tell single-cell decoder (generator.py:123-190)."""
 
     h_num: int = 1
+
+    def vocab_head(self):
+        return self.fcnet
 
     def setup(self):
         self.rnn = RNNCellBase(self.hidden_dim, self.rnn_type, name="rnn")
@@ -221,7 +312,8 @@ class BaseDecoder(DecoderBase):
         self.drop = nn.Dropout(self.dropout)
 
     def decode(self, v, v_mean, prev, h, *, att_cache=None, beam: int = 1,
-               deterministic: bool = True, return_features: bool = False):
+               deterministic: bool = True, return_features: bool = False,
+               v_gate_cache=None):
         """One step: attend with h, feed [prev; att_v] to the cell
         (generator.py:177-190).
 
@@ -234,6 +326,7 @@ class BaseDecoder(DecoderBase):
         (ops/pallas/vocab_topk.py) consumes them together with the fcnet
         weights (``output = feat @ w + b`` exactly).
         """
+        assert v_gate_cache is None, "BaseDecoder has no invariant cell input"
         state = h[0]
         h0 = state[0] if self.rnn_type == "LSTM" else state
         if beam > 1:
@@ -261,6 +354,9 @@ class BUTDDecoder(DecoderBase):
 
     h_num: int = 2
 
+    def vocab_head(self):
+        return self.h2_fcnet
+
     def setup(self):
         self.word_rnn = RNNCellBase(self.hidden_dim, self.rnn_type,
                                     name="word_rnn")
@@ -271,14 +367,39 @@ class BUTDDecoder(DecoderBase):
         self.h2_fcnet = _Dense(self.ntoken, name="h2_fcnet")
         self.drop = nn.Dropout(self.dropout)
 
+    def hoisted_gates(self, v_mean, prev_dim: int):
+        """Loop-invariant slice of the word-RNN input-gate preactivation.
+
+        ``v_mean`` is constant across decode steps, but the reference feeds
+        it through the word-RNN input GEMM every step
+        (generator.py:249-254). Hoisting its 2048 of 3372 input rows out of
+        the 19-step scan (x fwd + remat + bwd) removes ~3 TFLOP per MTL
+        train step at B=4096. Exact same math: the input GEMM distributes
+        over the concat's row blocks.
+        """
+        hd = self.hidden_dim
+        vd = v_mean.shape[-1]
+        return self.word_rnn(None, v_mean, full_in=hd + vd + prev_dim,
+                             rows=(hd, hd + vd), gates_only=True)
+
     def decode(self, v, v_mean, prev, h, *, att_cache=None, beam: int = 1,
-               deterministic: bool = True, return_features: bool = False):
+               deterministic: bool = True, return_features: bool = False,
+               v_gate_cache=None):
         """word RNN -> h1 FC -> attention -> language RNN -> vocab logits
         (generator.py:249-267). ``beam``/``return_features``: see
-        BaseDecoder.decode."""
+        BaseDecoder.decode. ``v_gate_cache``: precomputed ``hoisted_gates``.
+        """
         h1, h2 = h
         h2_out = h2[0] if self.rnn_type == "LSTM" else h2
-        h1 = self.word_rnn(h1, jnp.concatenate([h2_out, v_mean, prev], axis=1))
+        if v_gate_cache is not None:
+            hd, vd, pd = self.hidden_dim, v_mean.shape[-1], prev.shape[-1]
+            h1 = self.word_rnn(h1, jnp.concatenate([h2_out, prev], axis=1),
+                               full_in=hd + vd + pd,
+                               rows=[(0, hd), (hd + vd, hd + vd + pd)],
+                               extra_xi=v_gate_cache)
+        else:
+            h1 = self.word_rnn(
+                h1, jnp.concatenate([h2_out, v_mean, prev], axis=1))
         h1_out = h1[0] if self.rnn_type == "LSTM" else h1
         hq = self.h1_fcnet(self.drop(h1_out, deterministic=deterministic))
         if beam > 1:

@@ -71,9 +71,12 @@ def ce_for_language_model(predict: jax.Array, target: jax.Array,
 
     predict: [B, T, ntoken]; target: [B, T] int; mask: [B, T] {0,1}.
     """
-    logp = jax.nn.log_softmax(_at_least_f32(predict), axis=-1)
-    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    # nll = lse - logits[target]: same value as log_softmax + gather but the
+    # [.., ntoken] log-prob array never materializes (reductions + a gather)
+    predict = _at_least_f32(predict)
+    lse = jax.scipy.special.logsumexp(predict, axis=-1)
+    tgt = jnp.take_along_axis(predict, target[..., None], axis=-1)[..., 0]
+    return jnp.sum((lse - tgt) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 class VQAModel(nn.Module):

@@ -77,15 +77,47 @@ class RNNCellBase(nn.Module):
         return 3 if self.rnn_type == "GRU" else 4
 
     @nn.compact
-    def __call__(self, carry, x: jax.Array):
-        """One step. carry: h [batch, H] for GRU, (h, c) for LSTM."""
+    def __call__(self, carry, x: jax.Array, *, full_in: int | None = None,
+                 rows=None, extra_xi: jax.Array | None = None,
+                 gates_only: bool = False):
+        """One step. carry: h [batch, H] for GRU, (h, c) for LSTM.
+
+        Partial-input mode (all optional, default = plain step): lets a
+        caller hoist the input-gate GEMM of *time-invariant* input features
+        out of a decode scan (e.g. BUTD's ``v_mean`` slice of the word-RNN
+        input — 2048 of 3372 rows recomputed 19x3 times per train step
+        otherwise, PERF.md "MTL train step"). Parameter layout is unchanged
+        (one ``wi [full_in, nG*H]``), so checkpoints are unaffected.
+
+        - ``full_in``: total input width ``wi`` covers when ``x`` is only a
+          slice of the concatenated input.
+        - ``rows``: (start, end) span — or list of spans — of ``wi`` rows
+          that ``x`` provides, in order. Span concatenation of params is
+          loop-invariant, so XLA hoists it out of scans.
+        - ``extra_xi``: precomputed ``x_invariant @ wi[span]`` contribution
+          added to the input-gate preactivation.
+        - ``gates_only``: return ``x @ wi[rows]`` (no bias, no step) — the
+          hoisting call.
+        """
         init = torch_rnn_uniform(self.hidden_dim)
         ngates = self.num_gates
-        wi = self.param("wi", init, (x.shape[-1], ngates * self.hidden_dim))
+        in_dim = x.shape[-1] if full_in is None else full_in
+        wi = self.param("wi", init, (in_dim, ngates * self.hidden_dim))
         bi = self.param("bi", init, (ngates * self.hidden_dim,))
         wh = self.param("wh", init, (self.hidden_dim, ngates * self.hidden_dim))
         bh = self.param("bh", init, (ngates * self.hidden_dim,))
-        xi = jnp.matmul(x, wi.astype(x.dtype), preferred_element_type=x.dtype) + bi.astype(x.dtype)
+        if rows is None:
+            wi_x = wi
+        else:
+            spans = [rows] if isinstance(rows, tuple) else list(rows)
+            parts = [wi[s:e] for s, e in spans]
+            wi_x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        xi = jnp.matmul(x, wi_x.astype(x.dtype), preferred_element_type=x.dtype)
+        if gates_only:
+            return xi
+        if extra_xi is not None:
+            xi = xi + extra_xi
+        xi = xi + bi.astype(x.dtype)
         if self.rnn_type == "GRU":
             h = carry
             hi = jnp.matmul(h, wh.astype(h.dtype), preferred_element_type=h.dtype) + bh.astype(h.dtype)

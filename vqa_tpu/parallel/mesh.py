@@ -58,7 +58,8 @@ def replicate_global(mesh: Mesh, tree: Any) -> Any:
         if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
                 x.dtype, jax.dtypes.prng_key):
             data = np.asarray(jax.random.key_data(x))
-            return jax.random.wrap_key_data(jax.device_put(data, sharding))
+            return jax.random.wrap_key_data(jax.device_put(data, sharding),
+                                            impl=str(jax.random.key_impl(x)))
         return jax.device_put(np.asarray(x), sharding)
 
     return jax.tree_util.tree_map(put, tree)

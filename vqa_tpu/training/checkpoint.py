@@ -94,9 +94,19 @@ def load_checkpoint(path: str, state: Optional[TrainState] = None
         opt_state=serialization.from_state_dict(state.opt_state,
                                                 payload["opt_state"]),
         step=jax.numpy.int32(payload["step"]),
-        rng=jax.random.wrap_key_data(jax.numpy.asarray(payload["rng"])),
+        rng=_wrap_rng(payload),
     )
     return {"state": restored, **meta}
+
+
+def _wrap_rng(payload: Dict[str, Any]) -> jax.Array:
+    # the key impl is determined by the key-data width (threefry2x32 stores
+    # uint32[2], rbg uint32[4] — the two impls --prng_impl offers), so
+    # checkpoints restore under the impl they were trained with regardless
+    # of the current flag
+    rng_data = jax.numpy.asarray(payload["rng"])
+    impl = "rbg" if rng_data.shape[-1] == 4 else "threefry2x32"
+    return jax.random.wrap_key_data(rng_data, impl=impl)
 
 
 def load_params(path: str) -> Any:
@@ -162,7 +172,7 @@ def load_checkpoint_orbax(path: str, state: TrainState) -> Dict[str, Any]:
         opt_state=serialization.from_state_dict(state.opt_state,
                                                 payload["opt_state"]),
         step=jax.numpy.int32(payload["step"]),
-        rng=jax.random.wrap_key_data(jax.numpy.asarray(payload["rng"])),
+        rng=_wrap_rng(payload),
     )
     return {"state": restored, "epoch": int(payload["epoch"]),
             "best_score": float(payload["best_score"])}

@@ -29,10 +29,20 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model: VQAModel, tx: optax.GradientTransformation,
-                       sample_batch: Dict[str, Any], seed: int = 1111
-                       ) -> TrainState:
-    """Initialize params from a sample batch (shapes only matter)."""
-    root = jax.random.key(seed)
+                       sample_batch: Dict[str, Any], seed: int = 1111,
+                       prng_impl: str | None = None) -> TrainState:
+    """Initialize params from a sample batch (shapes only matter).
+
+    ``prng_impl``: PRNG implementation for the run key (None = jax default,
+    threefry2x32). ``"rbg"`` lowers dropout bit-generation to XLA's
+    ``RngBitGenerator`` — on TPU the MTL decoder's per-step [B, objs, H]
+    attention-dropout masks made threefry the single largest cost of the
+    train step (PERF.md "MTL train step": ~15 ms of each 33 ms decode
+    iteration at B=4096 was threefry rounds fused into the attention
+    chain, fwd + remat + bwd). The key's impl rides through
+    ``split``/``fold_in`` and into every ``nn.Dropout``.
+    """
+    root = jax.random.key(seed, impl=prng_impl)
     init_key, run_key = jax.random.split(root)
     variables = model.init({"params": init_key, "dropout": run_key},
                            sample_batch, method="get_loss")

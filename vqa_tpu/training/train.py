@@ -178,7 +178,8 @@ def train(model: VQAModel,
           profile_steps: tuple = (10, 20),
           step_factory=make_train_step,
           init_method: str = "get_loss",
-          train_dtype: str = "float32"):
+          train_dtype: str = "float32",
+          prng_impl: str | None = None):
     """Train loop (reference train.py:11-136). Returns the final TrainState.
 
     ``profile_dir``: if set, capture a jax.profiler trace (Perfetto/XPlane)
@@ -205,7 +206,7 @@ def train(model: VQAModel,
         import functools
         import jax.numpy as jnp
         from vqa_tpu.training.select import get_select_loss
-        root = jax.random.key(seed)
+        root = jax.random.key(seed, impl=prng_impl)
         init_key, run_key = jax.random.split(root)
         variables = model.init({"params": init_key, "dropout": run_key},
                                sample,
@@ -215,7 +216,8 @@ def train(model: VQAModel,
                            opt_state=tx.init(variables["params"]),
                            step=jnp.int32(0), rng=run_key)
     else:
-        state = create_train_state(model, tx, sample, seed=seed)
+        state = create_train_state(model, tx, sample, seed=seed,
+                                   prng_impl=prng_impl)
     if mesh is not None and jax.process_count() > 1:
         # multi-host: host-local init arrays must become global (replicated)
         # arrays before they can enter the SPMD train step together with the
