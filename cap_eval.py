@@ -42,9 +42,15 @@ def main(argv=None) -> dict:
     parser.add_argument("--load_ref", type=str,
                         default="../annot/VQA-E/val2014_captions.json")
     parser.add_argument("--load_path", type=str)
+    parser.add_argument("--synonym_path", type=str, default="",
+                        help="synset table for the METEOR synonym module "
+                             "(one synonym group per line; see "
+                             "vqa_tpu.tools.metrics.SynsetTable for the "
+                             "format and how to generate it from WordNet). "
+                             "Empty: exact+stem modules only")
     args = parser.parse_args(argv)
 
-    from vqa_tpu.tools.metrics import score
+    from vqa_tpu.tools.metrics import score, load_synsets
 
     exp_dir = os.path.join("checkpoint", args.load_path)
     hypotheses = load_decoded(os.path.join(exp_dir, "decode.txt"))
@@ -52,7 +58,8 @@ def main(argv=None) -> dict:
     print(f"scoring {len(hypotheses)} decoded captions from {exp_dir} "
           f"against {args.load_ref}")
 
-    result = score(references, hypotheses)
+    synsets = load_synsets(args.synonym_path) if args.synonym_path else None
+    result = score(references, hypotheses, synsets=synsets)
     report = "\n".join(f"{name}: {100 * value:.8f} %"
                        for name, value in result.items())
     print(report)

@@ -319,6 +319,43 @@ def test_meteor_stem_vs_exact_ranking_agreement():
     assert scores_exact == sorted(scores_exact, reverse=True), scores_exact
 
 
+def test_meteor_synonym_module(tmp_path):
+    """Module-3 synonym matching (METEOR 1.5, weight 0.8) credits synset
+    neighbours when a table is supplied; precedence exact > synonym > stem."""
+    from vqa_tpu.tools.metrics import (SynsetTable, _beam_align,
+                                       load_synsets, meteor)
+    path = tmp_path / "english.synsets"
+    path.write_text("# comment line\n"
+                    "dog canine domestic_dog\n"
+                    "ocean sea\n"
+                    "dog hotdog  # a second group sharing 'dog'\n")
+    table = load_synsets(str(path))
+    assert table.synonyms("dog", "canine")
+    assert table.synonyms("sea", "ocean")
+    assert table.synonyms("hotdog", "dog")      # via the second group
+    assert not table.synonyms("canine", "hotdog")  # no shared group
+    assert not table.synonyms("dog", "ball")
+
+    refs = {0: ["a dog swims in the ocean"]}
+    hyps = {0: ["a canine swims in the sea"]}
+    without = meteor(refs, hyps)
+    with_syn = meteor(refs, hyps, synsets=table)
+    assert with_syn > without, (without, with_syn)
+
+    # weights: exact 1.0 > synonym 0.8 > stem 0.6, per candidate pair
+    m, w, _ = _beam_align(["dog"], ["dog"], use_stem=True, stem_weight=0.6,
+                          synsets=table)
+    assert (m, w) == (1, 1.0)
+    m, w, _ = _beam_align(["canine"], ["dog"], use_stem=True,
+                          stem_weight=0.6, synsets=table)
+    assert (m, w) == (1, 0.8)
+    m, w, _ = _beam_align(["dogs"], ["dog"], use_stem=True, stem_weight=0.6,
+                          synsets=SynsetTable([]))
+    assert (m, w) == (1, 0.6)
+    # no table => identical to the exact+stem variant
+    assert meteor(refs, hyps, synsets=None) == without
+
+
 def test_topk_wide_matches_lax_topk():
     """Two-stage exact top-k == lax.top_k on wide rows (values and, absent
     ties, indices), including non-multiple-of-group widths and the

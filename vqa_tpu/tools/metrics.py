@@ -11,16 +11,19 @@ available in this environment:
 - **CIDEr** — tf-idf n-gram cosine with reference-corpus document
   frequencies, Gaussian length penalty sigma=6, x10 (pycocoevalcap
   cider_scorer.py semantics).
-- **METEOR** — exact + Porter-stem matching (METEOR 1.5 modules 1-2 with
-  the English stem-module weight 0.6; alpha=0.9 harmonic mean, chunk
-  fragmentation penalty gamma=0.5, beta=3), resolved by the jar Aligner's
-  beam search (max coverage -> max module weight -> min chunks -> min total
-  distance, beam 40 — exhaustive at caption lengths). The reference wraps
-  the Java METEOR 1.5 jar; its synonym/paraphrase modules need
-  WordNet/paraphrase tables and remain the documented gap — the exact-only
-  variant is kept as ``meteor(..., use_stem=False)``, the earlier greedy
-  alignment as ``alignment='greedy'``, and the agreement between variants
-  is pinned in tests/test_tools.py.
+- **METEOR** — exact + Porter-stem + synonym matching (METEOR 1.5 modules
+  1-3 with the English module weights 1.0 / 0.6 / 0.8; alpha=0.9 harmonic
+  mean, chunk fragmentation penalty gamma=0.5, beta=3), resolved by the jar
+  Aligner's beam search (max coverage -> max module weight -> min chunks ->
+  min total distance, beam 40 — exhaustive at caption lengths). The
+  reference wraps the Java METEOR 1.5 jar; this environment has no WordNet
+  corpus, so the synonym module runs only when a synset table is supplied
+  (``load_synsets`` — one synonym group per line; generate from WordNet
+  with nltk where available, see its docstring). The paraphrase module
+  (multi-word phrase table) is the remaining documented gap. The
+  exact-only variant is kept as ``meteor(..., use_stem=False)``, the
+  earlier greedy alignment as ``alignment='greedy'``, and the agreement
+  between variants is pinned in tests/test_tools.py.
 
 API mirrors cap_eval.score: ``score(refs, hyps) -> {metric: value}`` where
 refs/hyps map id -> [sentence, ...].
@@ -172,18 +175,60 @@ def _align_stage(hyp: List[str], ref: List[str], hyp_used, ref_used,
 _BEAM = 40  # the METEOR 1.5 Aligner's beam width
 
 
+class SynsetTable:
+    """Synonym lookup for METEOR module 3 (the jar's WordNet synonymy).
+
+    Built from synonym *groups* (synsets): two words are synonyms iff they
+    share at least one group — exactly WordNet's synset relation, which is
+    what the METEOR 1.5 jar tests (`/root/reference/cap_eval.py:25-28`
+    pipeline). File format for ``load_synsets``: one group per line,
+    whitespace-separated lowercase words; ``#`` comments allowed. Generate
+    from WordNet where nltk corpus data exists::
+
+        from nltk.corpus import wordnet
+        with open("english.synsets", "w") as f:
+            for s in wordnet.all_synsets():
+                names = {l.name().lower() for l in s.lemmas()
+                         if "_" not in l.name()}
+                if len(names) > 1:
+                    f.write(" ".join(sorted(names)) + "\\n")
+    """
+
+    def __init__(self, groups):
+        self._sets: Dict[str, set] = {}
+        for gid, group in enumerate(groups):
+            for w in group:
+                self._sets.setdefault(w, set()).add(gid)
+
+    def synonyms(self, a: str, b: str) -> bool:
+        sa = self._sets.get(a)
+        return bool(sa) and not sa.isdisjoint(self._sets.get(b, ()))
+
+
+def load_synsets(path: str) -> SynsetTable:
+    groups = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                groups.append(line.lower().split())
+    return SynsetTable(groups)
+
+
 def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
-                stem_weight: float) -> Tuple[int, float, int]:
+                stem_weight: float, synsets: SynsetTable = None,
+                syn_weight: float = 0.8) -> Tuple[int, float, int]:
     """METEOR 1.5 Aligner-style beam search -> (matches, weight, chunks).
 
-    Candidate matches: exact (weight 1.0) else Porter-stem equal (module
-    weight ``stem_weight``). The search walks hypothesis positions left to
-    right, each step either skipping the word or matching it to an unused
-    reference position; partial alignments are ranked by the jar's
-    resolution order — most words covered, then highest module weight, then
-    fewest chunks, then smallest total match distance — keeping the top
-    ``_BEAM`` states. At caption lengths (<= ~20 tokens) this is effectively
-    exhaustive.
+    Candidate matches per word pair, by module precedence: exact
+    (weight 1.0), else synonym (shared synset, ``syn_weight`` — the METEOR
+    1.5 English weight 0.8), else Porter-stem equal (``stem_weight``).
+    The search walks hypothesis positions left to right, each step either
+    skipping the word or matching it to an unused reference position;
+    partial alignments are ranked by the jar's resolution order — most
+    words covered, then highest module weight, then fewest chunks, then
+    smallest total match distance — keeping the top ``_BEAM`` states. At
+    caption lengths (<= ~20 tokens) this is effectively exhaustive.
     """
     if use_stem:
         from vqa_tpu.tools.porter import porter_stem
@@ -195,6 +240,8 @@ def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
         for j, rw in enumerate(ref):
             if w == rw:
                 row.append((j, 1.0))
+            elif synsets is not None and synsets.synonyms(w, rw):
+                row.append((j, syn_weight))
             elif use_stem and hyp_stem[i] == ref_stem[j]:
                 row.append((j, stem_weight))
         cands.append(row)
@@ -231,22 +278,25 @@ def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
 def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
                    gamma=0.5, use_stem: bool = True,
                    stem_weight: float = 0.6,
-                   alignment: str = "beam") -> float:
+                   alignment: str = "beam",
+                   synsets: SynsetTable = None) -> float:
     """METEOR for one hypothesis/reference pair.
 
-    Matches per METEOR 1.5 modules 1-2: exact (weight 1.0) + Porter-stem
-    (weight 0.6, the METEOR 1.5 English default). ``alignment='beam'``
-    resolves the match set the way the jar's Aligner does (beam search:
-    max coverage -> max weight -> min chunks -> min distance);
-    ``alignment='greedy'`` keeps the earlier staged left-to-right greedy
-    (cheaper, kept for comparison). The jar's synonym/paraphrase modules
-    need WordNet/a paraphrase table and remain the documented gap
-    (reference pipeline: /root/reference/cap_eval.py:25-28).
+    Matches per METEOR 1.5 modules 1-3: exact (weight 1.0), Porter-stem
+    (0.6), synonym (0.8, active when a ``synsets`` table is supplied — see
+    ``SynsetTable``). ``alignment='beam'`` resolves the match set the way
+    the jar's Aligner does (beam search: max coverage -> max weight ->
+    min chunks -> min distance); ``alignment='greedy'`` keeps the earlier
+    staged left-to-right greedy (cheaper, exact+stem only, kept for
+    comparison). The jar's paraphrase module (multi-word phrase table)
+    remains the documented gap (reference pipeline:
+    /root/reference/cap_eval.py:25-28).
     """
     if not hyp or not ref:
         return 0.0
     if alignment == "beam":
-        m, m_w, chunks = _beam_align(hyp, ref, use_stem, stem_weight)
+        m, m_w, chunks = _beam_align(hyp, ref, use_stem, stem_weight,
+                                     synsets=synsets)
         if m == 0:
             return 0.0
     else:
@@ -276,24 +326,28 @@ def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
 
 
 def meteor(refs: Dict, hyps: Dict, use_stem: bool = True,
-           alignment: str = "beam") -> float:
+           alignment: str = "beam", synsets: SynsetTable = None) -> float:
     scores = []
     for key in hyps:
         hyp = hyps[key][0].split()
         scores.append(max(_meteor_single(hyp, r.split(), use_stem=use_stem,
-                                         alignment=alignment)
+                                         alignment=alignment,
+                                         synsets=synsets)
                           for r in refs[key]))
     return sum(scores) / max(len(scores), 1)
 
 
 # ----------------------------------------------------------------- driver
 
-def score(ref: Dict, sample: Dict) -> Dict[str, float]:
-    """All metrics at once (cap_eval.py:22-39 interface)."""
+def score(ref: Dict, sample: Dict,
+          synsets: SynsetTable = None) -> Dict[str, float]:
+    """All metrics at once (cap_eval.py:22-39 interface).
+
+    ``synsets``: optional METEOR synonym table (``load_synsets``)."""
     b = bleu(ref, sample)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
-        "METEOR": meteor(ref, sample),
+        "METEOR": meteor(ref, sample, synsets=synsets),
         "CIDEr": cider(ref, sample),
         "ROUGE_L": rouge_l(ref, sample),
     }
