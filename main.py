@@ -123,7 +123,7 @@ def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
         and args.decoder_type != "none"
     return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed,
                   transform=transform, length_bucket=bucket,
-                  bucket_bounds=(8, 12, 16, args.c_len))
+                  bucket_bounds=(8, 10, 12, 14, 16, args.c_len))
 
 
 def main():

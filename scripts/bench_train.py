@@ -25,7 +25,7 @@ WARMUP, ITERS, REPS = 1, 3, 8
 
 
 def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
-        remat=True, clen=CLEN):
+        remat=True, clen=CLEN, fused_vjp=True):
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd" if caption else "none",
                       ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
@@ -33,6 +33,8 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
                       c_len=CLEN, att_type="new", use_mtl=caption)
     if caption and not remat:
         model = model.clone(generator=model.generator.clone(remat_scan=False))
+    if caption and not fused_vjp:
+        model = model.clone(generator=model.generator.clone(fused_vjp=False))
     if not fused_cap:
         from vqa_tpu.models.wrapper import VQAModel
         model = VQAModel(encoder=model.encoder, predictor=model.predictor,
@@ -106,6 +108,25 @@ def main():
         # remat=False stacks the [T, B, objs, H] attention joint (5.3 GB at
         # B=4096 — OOM on 16 GB); only viable at small batch, kept for the
         # record: run(..., B=1024, remat=False)
+    if which in ("all", "mtl-scale"):
+        # batch scaling + finer buckets on top of the c=12 bucket result
+        # (B=8192 OOMs — the step's activations + grads + opt state exceed
+        # 16 GB HBM at that batch)
+        run("MTL VQA+BUTD, B=6144, bf16, fused, c=12 bucket",
+            caption=True, compute_dtype=jnp.bfloat16, B=6144, clen=12)
+        run("MTL VQA+BUTD, B=4096, bf16, fused, c=9 bucket",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9)
+    if which in ("all", "vjp"):
+        # custom-VJP decode scan (ops/decode_scan.py) vs nn.scan + remat
+        run("MTL B=4096 c=20, nn.scan+remat (stock)",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096,
+            fused_vjp=False)
+        run("MTL B=4096 c=20, custom-VJP scan",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096)
+        run("MTL B=4096 c=12 bucket, custom-VJP scan",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12)
+        run("MTL B=4096 c=9 bucket, custom-VJP scan",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9)
 
 
 if __name__ == "__main__":

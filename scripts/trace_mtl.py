@@ -73,7 +73,9 @@ def top_ops(trace_dir, n=22):
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    print("devices:", jax.devices(), "B:", B, flush=True)
+    # optional 2nd arg: caption-axis length (emulates a --length_bucket feed)
+    clen = int(sys.argv[2]) if len(sys.argv) > 2 else CLEN
+    print("devices:", jax.devices(), "B:", B, "clen:", clen, flush=True)
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024,
@@ -85,8 +87,8 @@ def main():
                                                dtype=np.float32)),
         "q": jnp.asarray(rng.integers(0, NTOKEN, (B, QLEN)), dtype=jnp.int32),
         "a": jnp.asarray((rng.random((B, ANS)) < 0.01).astype(np.float32)),
-        "c": jnp.asarray(rng.integers(0, NTOKEN, (B, CLEN)), dtype=jnp.int32),
-        "cap_len": jnp.asarray(rng.integers(5, CLEN + 1, (B,)).astype(np.int32)),
+        "c": jnp.asarray(rng.integers(0, NTOKEN, (B, clen)), dtype=jnp.int32),
+        "cap_len": jnp.asarray(rng.integers(5, clen + 1, (B,)).astype(np.int32)),
     }
     tx = optim_lib.make_optimizer(lr=2e-3, max_norm=0.25)
     params = model.init(jax.random.PRNGKey(0),

@@ -336,3 +336,73 @@ def test_caption_loss_truncated_axis_matches_full(rng):
                                 deterministic=True)
     np.testing.assert_allclose(float(short_loss), float(full_loss),
                                rtol=1e-5)
+
+
+def test_fused_vjp_scan_matches_stock(rng):
+    """The custom-VJP teacher-forcing scan (ops/decode_scan.py) matches the
+    nn.scan path: identical deterministic loss, and full-model parameter
+    gradients equal at fp tolerance (deterministic — the two paths draw
+    different dropout streams by design, see the fused_vjp attr note)."""
+    model, params, batch = build(rng, decoder_type="butd",
+                                 predictor_type="base", use_mtl=True)
+    stock = model.clone(generator=model.generator.clone(fused_vjp=False))
+    assert model.generator.fused_vjp  # default on
+
+    lf, _ = model.apply(params, batch, method="get_loss", deterministic=True)
+    ls, _ = stock.apply(params, batch, method="get_loss", deterministic=True)
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6)
+
+    def loss_of(m):
+        def f(p):
+            l, _ = m.apply(p, batch, method="get_loss", deterministic=True)
+            return l
+        return f
+
+    gf = jax.grad(loss_of(model))(params)
+    gs = jax.grad(loss_of(stock))(params)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(gf)[0],
+                            jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_vjp_gradients_match_autodiff_with_dropout(rng):
+    """The hand-structured backward equals plain autodiff of the identical
+    pure forward under ACTIVE dropout (same fold_in keys => same masks) —
+    for every input: params, v, vp, v_gates, prev_seq, h0s."""
+    from vqa_tpu.ops.decode_scan import make_butd_caption_scan
+    B, NOBJ, VDIM, E, H, T = 4, 7, 24, 10, 12, 6
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.3
+    P = {
+        "word_rnn": {"wi": f(H + VDIM + E, 3 * H), "bi": f(3 * H),
+                     "wh": f(H, 3 * H), "bh": f(3 * H)},
+        "language_rnn": {"wi": f(VDIM + H, 3 * H), "bi": f(3 * H),
+                         "wh": f(H, 3 * H), "bh": f(3 * H)},
+        "h1_fcnet": {"w": f(H, H), "b": f(H)},
+        "attention": {"W_q": {"fc0": {"v": f(H, H), "g": jnp.float32(1.3),
+                                      "b": f(H)}},
+                      "linear": {"v": f(H, 1), "g": jnp.float32(0.8),
+                                 "b": f(1)}},
+    }
+    args = (P, f(B, NOBJ, VDIM), f(B, NOBJ, H), f(B, 3 * H),
+            f(B, T, E), f(B, H), f(B, H))
+    key = jax.random.key(7)
+    co = f(T, B, H)
+    for det in (True, False):
+        scan_fn, ref_fn = make_butd_caption_scan(
+            hidden_dim=H, v_dim=VDIM, dropout=0.4, att_dropout=0.25,
+            deterministic=det)
+        np.testing.assert_allclose(np.asarray(scan_fn(*args, key)),
+                                   np.asarray(ref_fn(*args, key)),
+                                   rtol=1e-6, atol=1e-6)
+        argn = tuple(range(7))
+        gc = jax.grad(lambda *a: jnp.sum(scan_fn(*a, key) * co),
+                      argnums=argn)(*args)
+        gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a, key) * co),
+                      argnums=argn)(*args)
+        for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(gc)[0],
+                                jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-6,
+                err_msg=f"det={det} {jax.tree_util.keystr(path)}")

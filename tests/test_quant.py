@@ -244,3 +244,28 @@ def test_int8_model_trains_on_f32_path(rng):
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(a).all()
         np.testing.assert_array_equal(a, b)
+
+
+def test_lazy_v_independent_of_use_int8(rng):
+    """lazy_v rides the int8 *feed*, not the int8 GEMM path: a use_int8=False
+    encoder fed img_q/img_scale still emits 'v_sum' (the bench fast config —
+    bf16 GEMMs + fused dequant + lazy pooling), and lazy_v=False disables it."""
+    from vqa_tpu.models.encoder import BaseEncoder
+    B, N, D, H = 8, 36, 128, 64
+    img = (rng.standard_normal((B, N, D)) * 0.5).astype(np.float32)
+    img_q, s = map(np.asarray, quantize_features(img))
+    batch = {"img_q": jnp.asarray(img_q), "img_scale": jnp.asarray(s),
+             "q": jnp.asarray(rng.integers(0, 50, (B, 10)), jnp.int32)}
+    enc = BaseEncoder(ntoken=50, embed_dim=16, hidden_dim=H, dropout=0.0,
+                      att_type="new", att_dropout=0.0)
+    params = enc.init(jax.random.PRNGKey(1), batch)
+    out = enc.apply(params, batch)
+    assert "v_sum" in out
+    np.testing.assert_allclose(np.asarray(out["v_sum"]),
+                               np.asarray(jnp.sum(out["v"], axis=1)),
+                               rtol=1e-5, atol=1e-5)
+    off = enc.clone(lazy_v=False)
+    assert "v_sum" not in off.apply(params, batch)
+    # dense feed: no img_q, no lazy path
+    dense = {"img": jnp.asarray(img), "q": batch["q"]}
+    assert "v_sum" not in enc.apply(params, dense)

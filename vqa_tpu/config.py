@@ -169,7 +169,7 @@ def parse_args(argv=None):
     parser.add_argument("--length_bucket", type=int, default=0,
                         help="bucket training batches by caption length and "
                              "truncate the caption axis to the bucket bound "
-                             "(8/12/16/c_len): the decoder scan skips "
+                             "(8/10/12/14/16/c_len): the decoder scan skips "
                              "all-masked steps — identical loss per sample, "
                              "~1.5x caption-training throughput at real "
                              "caption lengths. Batch composition diverges "

@@ -80,6 +80,12 @@ class BaseEncoder(nn.Module):
     # (img_q/img_scale batches). Inference-only: weight quantization rounds,
     # so the training path keeps the differentiable dequant+f32 GEMM.
     use_int8: bool = False
+    # lazy v (inference, int8 feed only): emit 'v_sum' pooled directly over
+    # the int8 payload so heads that consume v.sum(1) never materialize the
+    # dequantized [B, objs, v_dim] features (exact algebra, fp reorder —
+    # PARITY.md "Deterministic folds"). Independent of use_int8: it changes
+    # where the dequant multiplies, not whether GEMMs run int8.
+    lazy_v: bool = True
 
     def setup(self):
         self.embedding = WordEmbedding(self.ntoken, self.embed_dim,
@@ -130,7 +136,7 @@ class BaseEncoder(nn.Module):
         v = v_att * v
         q = self.q_net(q, deterministic=deterministic)
         out = {"v": v, "q": q, "v_att": v_att}
-        if self.use_int8 and "img_q" in batch and deterministic:
+        if self.lazy_v and "img_q" in batch and deterministic:
             # lazy v ("fold the scale into the attention weights"): the
             # base predictors consume v.sum(1) only, so pool directly over
             # the int8 payload with att*scale weights — the dequantized

@@ -81,6 +81,14 @@ class DecoderBase(nn.Module):
     # scan the stacked intermediates are all [B, <=3H]-sized, so both
     # layouts are viable — measured on TPU in PERF.md "MTL train step".
     remat_scan: bool = True
+    # hand-structured backward for the teacher-forcing scan
+    # (ops/decode_scan.py): defers the [B, objs, v_dim] grad-of-v
+    # accumulation to one post-scan einsum and rebuilds each step from the
+    # carried hidden states. BUTD + GRU + MultiplyAttention only (falls
+    # back to the nn.scan path otherwise). Dropout draws a different — but
+    # equally valid — random stream than the nn.scan path (fold_in per
+    # step vs split_rngs; same caveat as --prng_impl).
+    fused_vjp: bool = True
 
     def hoisted_gates(self, v_mean, prev_dim: int):
         """Loop-invariant input-gate cache (BUTD overrides; None = n/a)."""
@@ -200,31 +208,67 @@ class DecoderBase(nn.Module):
         acc_dtype = jnp.promote_types(v.dtype, jnp.float32)
         mask = mask.astype(acc_dtype)
 
-        def body(mdl, h, prev):
-            # vocab head deliberately NOT applied here: the scan emits the
-            # pre-logit features and ONE batched [B*steps, H] x [H, ntoken]
-            # GEMM + CE runs after the scan. Per-step [B, ntoken] GEMMs ran
-            # at ~50% MXU and their CE epilogues + remat recompute dominated
-            # the step (PERF.md "MTL train step", round 3); batching the
-            # head also shrinks the remat'd body to cells + attention.
-            h, feat, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev, h=h,
-                                    att_cache=att_cache,
-                                    deterministic=deterministic,
-                                    return_features=True,
-                                    v_gate_cache=v_gates)
-            return h, feat
+        if self._fused_vjp_ok(v_gates):
+            feats = self._fused_vjp_feats(v, att_cache, v_gates,
+                                          caption[:, :steps, :], h,
+                                          deterministic)
+        else:
+            def body(mdl, h, prev):
+                # vocab head deliberately NOT applied here: the scan emits
+                # the pre-logit features and ONE batched [B*steps, H] x
+                # [H, ntoken] GEMM + CE runs after the scan. Per-step
+                # [B, ntoken] GEMMs ran at ~50% MXU and their CE epilogues
+                # + remat recompute dominated the step (PERF.md "MTL train
+                # step", round 3); batching the head also shrinks the
+                # remat'd body to cells + attention.
+                h, feat, _ = mdl.decode(v=v, v_mean=v_mean, prev=prev, h=h,
+                                        att_cache=att_cache,
+                                        deterministic=deterministic,
+                                        return_features=True,
+                                        v_gate_cache=v_gates)
+                return h, feat
 
-        if self.remat_scan:
-            body = nn.remat(body, prevent_cse=False)
-        scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True},
-                       in_axes=1, out_axes=1)
-        _, feats = scan(self, h, caption[:, :steps, :])  # [B, steps, H]
+            if self.remat_scan:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=1, out_axes=1)
+            _, feats = scan(self, h, caption[:, :steps, :])  # [B, steps, H]
         tgt = target[:, 1:steps + 1]                      # [B, steps]
         nll_sum = self._vocab_ce_sum(feats, tgt, mask, acc_dtype)
         mask_sum = jnp.sum(mask)
         return {"loss": nll_sum / jnp.maximum(mask_sum, 1.0),
                 "mask_sum": mask_sum}
+
+    def _fused_vjp_ok(self, v_gates) -> bool:
+        """The hand-structured backward covers the flagship decode shape
+        only: BUTD (two GRU cells, signalled by a hoisted gate cache) with
+        MultiplyAttention. Initialization must run the stock path so the
+        flax submodules declare their params."""
+        return (self.fused_vjp and self.h_num == 2
+                and self.rnn_type == "GRU" and self.att_type == "new"
+                and v_gates is not None and not self.is_initializing())
+
+    def _fused_vjp_feats(self, v, att_cache, v_gates, prev_seq, h,
+                         deterministic: bool) -> jax.Array:
+        """Run the teacher-forcing scan through the custom-VJP
+        implementation (ops/decode_scan.py) -> [B, steps, H] features."""
+        from vqa_tpu.ops.decode_scan import make_butd_caption_scan
+        scan_fn, _ = make_butd_caption_scan(
+            hidden_dim=self.hidden_dim, v_dim=v.shape[-1],
+            dropout=self.dropout, att_dropout=self.att_dropout,
+            deterministic=deterministic)
+        params = self.variables["params"]
+        P = {"word_rnn": params["word_rnn"],
+             "h1_fcnet": params["h1_fcnet"],
+             "language_rnn": params["language_rnn"],
+             "attention": {"W_q": params["attention"]["W_q"],
+                           "linear": params["attention"]["linear"]}}
+        key = (self.make_rng("dropout") if not deterministic
+               else jax.random.key(0))
+        feats_tm = scan_fn(P, v, att_cache, v_gates, prev_seq,
+                           h[0], h[1], key)
+        return jnp.swapaxes(feats_tm, 0, 1)
 
     def _ce_rows(self, feats: jax.Array, target: jax.Array,
                  mask: jax.Array, acc_dtype) -> jax.Array:
