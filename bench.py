@@ -95,11 +95,13 @@ def run_config(fast: bool) -> float:
         b = {"q": jnp.asarray(
             rng.integers(0, NTOKEN, (BATCH_SIZE, Q_LEN)).astype(np.int32))}
         if fast:
-            # the production int8 feed with bf16 scales: XLA fuses the
-            # dequant into both feature consumers (projection operand +
-            # att*v pooling), halving their HBM reads — measured 31.7 vs
-            # 33.3 ms/call against the dense bf16 feed, and faster than
-            # running the GEMM itself in int8 (PERF.md "int8 MXU")
+            # the production int8 feed with bf16 scales + lazy v (the
+            # encoder pools attended features directly over the int8
+            # payload, so the dequantized [B, objs, v_dim] tensor is never
+            # materialized — models/encoder.py lazy_v, on by default):
+            # measured 22.9 ms/call vs 31.5 materialized and 33.4 for the
+            # dense bf16 feed, and faster than running the GEMM itself in
+            # int8 (PERF.md "int8 MXU")
             from vqa_tpu.data.shards import quantize_features
             q8, scales = quantize_features(x)
             b["img_q"] = jnp.asarray(q8)
