@@ -48,9 +48,15 @@ def main(argv=None) -> dict:
                              "vqa_tpu.tools.metrics.SynsetTable for the "
                              "format and how to generate it from WordNet). "
                              "Empty: exact+stem modules only")
+    parser.add_argument("--paraphrase_path", type=str, default="",
+                        help="phrase table for the METEOR paraphrase "
+                             "module ('phrase a ||| phrase b' per line; "
+                             "see vqa_tpu.tools.metrics.ParaphraseTable). "
+                             "Empty: module off")
     args = parser.parse_args(argv)
 
-    from vqa_tpu.tools.metrics import score, load_synsets
+    from vqa_tpu.tools.metrics import (score, load_synsets,
+                                       load_paraphrases)
 
     exp_dir = os.path.join("checkpoint", args.load_path)
     hypotheses = load_decoded(os.path.join(exp_dir, "decode.txt"))
@@ -59,7 +65,10 @@ def main(argv=None) -> dict:
           f"against {args.load_ref}")
 
     synsets = load_synsets(args.synonym_path) if args.synonym_path else None
-    result = score(references, hypotheses, synsets=synsets)
+    paraphrases = (load_paraphrases(args.paraphrase_path)
+                   if args.paraphrase_path else None)
+    result = score(references, hypotheses, synsets=synsets,
+                   paraphrases=paraphrases)
     report = "\n".join(f"{name}: {100 * value:.8f} %"
                        for name, value in result.items())
     print(report)

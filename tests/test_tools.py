@@ -263,8 +263,9 @@ def test_meteor_beam_alignment_minimizes_chunks():
     from vqa_tpu.tools.metrics import _beam_align, _meteor_single
     hyp = "a b c".split()
     ref = "b a b c".split()
-    m, m_w, chunks = _beam_align(hyp, ref, use_stem=False, stem_weight=0.6)
-    assert (m, m_w, chunks) == (3, 3.0, 1)
+    m_h, m_r, w_h, w_r, chunks = _beam_align(hyp, ref, use_stem=False,
+                                             stem_weight=0.6)
+    assert (m_h, m_r, w_h, w_r, chunks) == (3, 3, 3.0, 3.0, 1)
     beam = _meteor_single(hyp, ref, use_stem=False, alignment="beam")
     greedy = _meteor_single(hyp, ref, use_stem=False, alignment="greedy")
     assert beam > greedy, (beam, greedy)
@@ -277,8 +278,8 @@ def test_meteor_beam_alignment_minimizes_chunks():
                                      alignment="greedy")
     # coverage dominates: beam prefers exact over stem matches at equal
     # coverage (module weight is the second key)
-    m2, w2, _ = _beam_align("dog".split(), "dog dogs".split(),
-                            use_stem=True, stem_weight=0.6)
+    m2, _, w2, _, _ = _beam_align("dog".split(), "dog dogs".split(),
+                                  use_stem=True, stem_weight=0.6)
     assert (m2, w2) == (1, 1.0)
 
 
@@ -343,17 +344,68 @@ def test_meteor_synonym_module(tmp_path):
     assert with_syn > without, (without, with_syn)
 
     # weights: exact 1.0 > synonym 0.8 > stem 0.6, per candidate pair
-    m, w, _ = _beam_align(["dog"], ["dog"], use_stem=True, stem_weight=0.6,
-                          synsets=table)
+    m, _, w, _, _ = _beam_align(["dog"], ["dog"], use_stem=True,
+                                stem_weight=0.6, synsets=table)
     assert (m, w) == (1, 1.0)
-    m, w, _ = _beam_align(["canine"], ["dog"], use_stem=True,
-                          stem_weight=0.6, synsets=table)
+    m, _, w, _, _ = _beam_align(["canine"], ["dog"], use_stem=True,
+                                stem_weight=0.6, synsets=table)
     assert (m, w) == (1, 0.8)
-    m, w, _ = _beam_align(["dogs"], ["dog"], use_stem=True, stem_weight=0.6,
-                          synsets=SynsetTable([]))
+    m, _, w, _, _ = _beam_align(["dogs"], ["dog"], use_stem=True,
+                                stem_weight=0.6, synsets=SynsetTable([]))
     assert (m, w) == (1, 0.6)
     # no table => identical to the exact+stem variant
     assert meteor(refs, hyps, synsets=None) == without
+
+
+def test_meteor_paraphrase_module(tmp_path):
+    """Module-4 paraphrase matching (METEOR 1.5, weight 0.6) credits
+    phrase-table spans when a table is supplied; spans cover every word of
+    both sides and may differ in length."""
+    from vqa_tpu.tools.metrics import (ParaphraseTable, _beam_align,
+                                       _meteor_single, load_paraphrases,
+                                       meteor)
+    path = tmp_path / "paraphrase-en"
+    path.write_text("# mined phrase pairs\n"
+                    "riding a bike ||| on a bicycle\n"
+                    "photo ||| picture\n")
+    table = load_paraphrases(str(path))
+    assert table.paraphrases(("riding", "a", "bike")) == {
+        ("on", "a", "bicycle")}
+    assert table.paraphrases(("picture",)) == {("photo",)}  # symmetric
+    assert table.max_len == 3
+
+    refs = {0: ["a man riding a bike down the street"]}
+    hyps = {0: ["a man on a bicycle down the street"]}
+    without = meteor(refs, hyps)
+    with_para = meteor(refs, hyps, paraphrases=table)
+    assert with_para > without, (without, with_para)
+
+    # span coverage: 'riding a bike' (3 words) vs 'on a bicycle' (3 words)
+    # at weight 0.6; the stray exact 'a' inside the span must NOT be
+    # double-used by the unigram module
+    m_h, m_r, w_h, w_r, chunks = _beam_align(
+        "on a bicycle".split(), "riding a bike".split(),
+        use_stem=False, stem_weight=0.6, paraphrases=table)
+    assert (m_h, m_r, chunks) == (3, 3, 1)
+    assert abs(w_h - 1.8) < 1e-12 and abs(w_r - 1.8) < 1e-12
+    # unequal-length spans: covered word counts differ per side
+    t2 = ParaphraseTable([(["sofa"], ["couch"]),
+                          (["right", "now"], ["immediately"])])
+    m_h, m_r, w_h, w_r, _ = _beam_align(
+        "right now".split(), "immediately".split(),
+        use_stem=False, stem_weight=0.6, paraphrases=t2)
+    assert (m_h, m_r) == (2, 1)
+    assert abs(w_h - 1.2) < 1e-12 and abs(w_r - 0.6) < 1e-12
+    s = _meteor_single("right now".split(), "immediately".split(),
+                       use_stem=False, paraphrases=t2)
+    # p = 1.2/2, r = 0.6/1, fmean, penalty over mean matched words 1.5
+    p, r = 0.6, 0.6
+    want = (p * r / (0.9 * p + 0.1 * r)) * (1 - 0.5 * (1 / 1.5) ** 3)
+    assert abs(s - want) < 1e-12, (s, want)
+    # exact matching still wins where both apply; no table => unchanged
+    assert meteor(refs, hyps, paraphrases=None) == without
+    same = {0: hyps[0]}
+    assert meteor(same, hyps, paraphrases=table) == meteor(same, hyps)
 
 
 def test_topk_wide_matches_lax_topk():

@@ -11,19 +11,23 @@ available in this environment:
 - **CIDEr** — tf-idf n-gram cosine with reference-corpus document
   frequencies, Gaussian length penalty sigma=6, x10 (pycocoevalcap
   cider_scorer.py semantics).
-- **METEOR** — exact + Porter-stem + synonym matching (METEOR 1.5 modules
-  1-3 with the English module weights 1.0 / 0.6 / 0.8; alpha=0.9 harmonic
-  mean, chunk fragmentation penalty gamma=0.5, beta=3), resolved by the jar
-  Aligner's beam search (max coverage -> max module weight -> min chunks ->
-  min total distance, beam 40 — exhaustive at caption lengths). The
-  reference wraps the Java METEOR 1.5 jar; this environment has no WordNet
-  corpus, so the synonym module runs only when a synset table is supplied
-  (``load_synsets`` — one synonym group per line; generate from WordNet
-  with nltk where available, see its docstring). The paraphrase module
-  (multi-word phrase table) is the remaining documented gap. The
-  exact-only variant is kept as ``meteor(..., use_stem=False)``, the
-  earlier greedy alignment as ``alignment='greedy'``, and the agreement
-  between variants is pinned in tests/test_tools.py.
+- **METEOR** — exact + Porter-stem + synonym + paraphrase matching (all
+  four METEOR 1.5 modules with the English module weights 1.0 / 0.6 /
+  0.8 / 0.6; alpha=0.9 harmonic mean, chunk fragmentation penalty
+  gamma=0.5, beta=3), resolved by the jar Aligner's beam search (max
+  coverage -> max module weight -> min chunks -> min total distance,
+  beam 40 — exhaustive at caption lengths). The reference wraps the Java
+  METEOR 1.5 jar, whose synonym/paraphrase modules read bundled corpora
+  (WordNet synsets, paraphrase-en) that are not present in this
+  environment — so those two modules run only when their tables are
+  supplied (``load_synsets`` / ``load_paraphrases``; see their docstrings
+  for how to generate the tables from public data). Remaining documented
+  delta vs the jar: the bundled table *contents*, and the jar's
+  task-tuned scoring parameters (this module defaults to the original
+  METEOR alpha/beta/gamma, all exposed as kwargs). The exact-only variant
+  is kept as ``meteor(..., use_stem=False)``, the earlier greedy
+  alignment as ``alignment='greedy'``, and the agreement between variants
+  is pinned in tests/test_tools.py.
 
 API mirrors cap_eval.score: ``score(refs, hyps) -> {metric: value}`` where
 refs/hyps map id -> [sentence, ...].
@@ -215,26 +219,74 @@ def load_synsets(path: str) -> SynsetTable:
     return SynsetTable(groups)
 
 
+class ParaphraseTable:
+    """Phrase table for METEOR module 4 (the jar's paraphrase matching).
+
+    Maps multi-word (or single-word) phrases to sets of equivalent
+    phrases; lookup is symmetric. The METEOR 1.5 jar ships a
+    ``paraphrase-en`` table mined from parallel corpora (Denkowski &
+    Lavie 2014) — distribute-your-own here, same posture as
+    ``SynsetTable``. File format for ``load_paraphrases``: one pair per
+    line, ``phrase a ||| phrase b`` (lowercase; ``#`` comments allowed).
+    """
+
+    def __init__(self, pairs):
+        self._map: Dict[Tuple[str, ...], set] = {}
+        self.max_len = 1
+        for a, b in pairs:
+            ta, tb = tuple(a), tuple(b)
+            if not ta or not tb or ta == tb:
+                continue
+            self._map.setdefault(ta, set()).add(tb)
+            self._map.setdefault(tb, set()).add(ta)
+            self.max_len = max(self.max_len, len(ta), len(tb))
+
+    def paraphrases(self, phrase: Tuple[str, ...]) -> set:
+        return self._map.get(phrase, set())
+
+
+def load_paraphrases(path: str) -> ParaphraseTable:
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "|||" not in line:
+                continue
+            a, b = line.lower().split("|||", 1)
+            pairs.append((a.split(), b.split()))
+    return ParaphraseTable(pairs)
+
+
 def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
                 stem_weight: float, synsets: SynsetTable = None,
-                syn_weight: float = 0.8) -> Tuple[int, float, int]:
-    """METEOR 1.5 Aligner-style beam search -> (matches, weight, chunks).
+                syn_weight: float = 0.8,
+                paraphrases: "ParaphraseTable" = None,
+                para_weight: float = 0.6
+                ) -> Tuple[int, int, float, float, int]:
+    """METEOR 1.5 Aligner-style beam search
+    -> (m_hyp, m_ref, w_hyp, w_ref, chunks): words covered on each side,
+    module-weighted word mass on each side, and chunk count.
 
-    Candidate matches per word pair, by module precedence: exact
-    (weight 1.0), else synonym (shared synset, ``syn_weight`` — the METEOR
-    1.5 English weight 0.8), else Porter-stem equal (``stem_weight``).
-    The search walks hypothesis positions left to right, each step either
-    skipping the word or matching it to an unused reference position;
-    partial alignments are ranked by the jar's resolution order — most
-    words covered, then highest module weight, then fewest chunks, then
-    smallest total match distance — keeping the top ``_BEAM`` states. At
-    caption lengths (<= ~20 tokens) this is effectively exhaustive.
+    Candidate matches: per word pair, by module precedence — exact
+    (weight 1.0), else synonym (shared synset, ``syn_weight`` — the
+    METEOR 1.5 English weight 0.8), else Porter-stem equal
+    (``stem_weight``); plus, when a phrase table is supplied, span
+    matches — a hypothesis span whose phrase the table maps to a
+    reference span (module 4, ``para_weight`` — the 1.5 English weight
+    0.6), covering every word of both spans. The search walks hypothesis
+    positions left to right, each step either skipping the word or laying
+    down a match starting there; partial alignments are ranked by the
+    jar's resolution order — most words covered (both sides), then
+    highest module weight, then fewest chunks, then smallest total match
+    distance — keeping the top ``_BEAM`` states. At caption lengths
+    (<= ~20 tokens) this is effectively exhaustive.
     """
     if use_stem:
         from vqa_tpu.tools.porter import porter_stem
         hyp_stem = [porter_stem(w) for w in hyp]
         ref_stem = [porter_stem(w) for w in ref]
-    cands: List[List[Tuple[int, float]]] = []
+    # unigram candidates: [(j, weight)]
+    uni: List[List[Tuple[int, float]]] = []
     for i, w in enumerate(hyp):
         row = []
         for j, rw in enumerate(ref):
@@ -244,27 +296,57 @@ def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
                 row.append((j, syn_weight))
             elif use_stem and hyp_stem[i] == ref_stem[j]:
                 row.append((j, stem_weight))
-        cands.append(row)
+        uni.append(row)
+    # span candidates: [(hyp_len, j, ref_len, weight)]
+    spans: List[List[Tuple[int, int, int, float]]] = [[] for _ in hyp]
+    if paraphrases is not None:
+        ref_t = tuple(ref)
+        for i in range(len(hyp)):
+            for li in range(1, min(paraphrases.max_len, len(hyp) - i) + 1):
+                for pp in paraphrases.paraphrases(tuple(hyp[i:i + li])):
+                    lj = len(pp)
+                    for j in range(len(ref) - lj + 1):
+                        if ref_t[j:j + lj] == pp:
+                            spans[i].append((li, j, lj, para_weight))
 
-    # state: (covered, weight, -chunks, -dist, ref_mask, last_i, last_j)
-    states = [(0, 0.0, 0, 0, 0, -2, -2)]
-    for i, row in enumerate(cands):
-        nxt = list(states)  # skipping word i is always an option
-        if row:
-            for covered, weight, nchunks, ndist, mask, li, lj in states:
-                for j, w8 in row:
-                    if mask >> j & 1:
-                        continue
-                    contiguous = (li == i - 1 and lj == j - 1)
-                    nxt.append((covered + 1, weight + w8,
-                                nchunks - (0 if contiguous else 1),
-                                ndist - abs(i - j), mask | (1 << j), i, j))
+    # state: 4 rank fields (covered, weight, -chunks, -dist) + payload
+    # (ref_mask, next_i, last_hyp_end, last_ref_end, m_h, m_r, w_h, w_r)
+    states = [(0, 0.0, 0, 0, 0, 0, -2, -2, 0, 0, 0.0, 0.0)]
+    for i in range(len(hyp)):
+        nxt = []
+        for s in states:
+            (covered, weight, nchunks, ndist,
+             mask, next_i, lhe, lre, m_h, m_r, w_h, w_r) = s
+            if next_i > i:          # mid-span: nothing to decide here
+                nxt.append(s)
+                continue
+            # skip word i
+            nxt.append((covered, weight, nchunks, ndist, mask, i + 1,
+                        lhe, lre, m_h, m_r, w_h, w_r))
+            for j, w8 in uni[i]:
+                if mask >> j & 1:
+                    continue
+                contiguous = (lhe == i - 1 and lre == j - 1)
+                nxt.append((covered + 2, weight + 2 * w8,
+                            nchunks - (0 if contiguous else 1),
+                            ndist - abs(i - j), mask | (1 << j), i + 1,
+                            i, j, m_h + 1, m_r + 1, w_h + w8, w_r + w8))
+            for li, j, lj, w8 in spans[i]:
+                span_bits = ((1 << lj) - 1) << j
+                if mask & span_bits:
+                    continue
+                contiguous = (lhe == i - 1 and lre == j - 1)
+                nxt.append((covered + li + lj, weight + w8 * (li + lj),
+                            nchunks - (0 if contiguous else 1),
+                            ndist - abs(i - j), mask | span_bits, i + li,
+                            i + li - 1, j + lj - 1, m_h + li, m_r + lj,
+                            w_h + w8 * li, w_r + w8 * lj))
         nxt.sort(key=lambda s: s[:4], reverse=True)
-        # dedupe identical (mask, last match) states, keep the best-ranked
+        # dedupe identical (mask, position, last match) states
         seen = set()
         states = []
         for s in nxt:
-            sig = (s[4], s[5], s[6])
+            sig = (s[4], s[5], s[6], s[7])
             if sig in seen:
                 continue
             seen.add(sig)
@@ -272,33 +354,44 @@ def _beam_align(hyp: List[str], ref: List[str], use_stem: bool,
             if len(states) == _BEAM:
                 break
     best = states[0]
-    return best[0], best[1], -best[2]
+    return best[8], best[9], best[10], best[11], -best[2]
 
 
 def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
                    gamma=0.5, use_stem: bool = True,
                    stem_weight: float = 0.6,
                    alignment: str = "beam",
-                   synsets: SynsetTable = None) -> float:
+                   synsets: SynsetTable = None,
+                   paraphrases: ParaphraseTable = None) -> float:
     """METEOR for one hypothesis/reference pair.
 
-    Matches per METEOR 1.5 modules 1-3: exact (weight 1.0), Porter-stem
+    Matches per the METEOR 1.5 modules: exact (weight 1.0), Porter-stem
     (0.6), synonym (0.8, active when a ``synsets`` table is supplied — see
-    ``SynsetTable``). ``alignment='beam'`` resolves the match set the way
-    the jar's Aligner does (beam search: max coverage -> max weight ->
-    min chunks -> min distance); ``alignment='greedy'`` keeps the earlier
-    staged left-to-right greedy (cheaper, exact+stem only, kept for
-    comparison). The jar's paraphrase module (multi-word phrase table)
-    remains the documented gap (reference pipeline:
-    /root/reference/cap_eval.py:25-28).
+    ``SynsetTable``), paraphrase (0.6, active when a ``paraphrases`` phrase
+    table is supplied — see ``ParaphraseTable``; spans cover every word of
+    both sides, precision/recall weigh each side's covered word count and
+    the fragmentation denominator is the two sides' mean — the 1.5 phrase
+    semantics, which reduce exactly to the unigram formulas when all
+    matches are single words). ``alignment='beam'`` resolves the match set
+    the way the jar's Aligner does (beam search: max coverage -> max
+    weight -> min chunks -> min distance); ``alignment='greedy'`` keeps
+    the earlier staged left-to-right greedy (cheaper, exact+stem only,
+    kept for comparison). Reference pipeline:
+    /root/reference/cap_eval.py:25-28.
     """
     if not hyp or not ref:
         return 0.0
     if alignment == "beam":
-        m, m_w, chunks = _beam_align(hyp, ref, use_stem, stem_weight,
-                                     synsets=synsets)
-        if m == 0:
+        m_h, m_r, w_h, w_r, chunks = _beam_align(
+            hyp, ref, use_stem, stem_weight, synsets=synsets,
+            paraphrases=paraphrases)
+        if m_h == 0:
             return 0.0
+        p = w_h / len(hyp)
+        r = w_r / len(ref)
+        fmean = p * r / (alpha * p + (1 - alpha) * r)
+        penalty = gamma * (chunks / ((m_h + m_r) / 2.0)) ** beta
+        return fmean * (1 - penalty)
     else:
         hyp_used = [False] * len(hyp)
         ref_used = [False] * len(ref)
@@ -326,28 +419,32 @@ def _meteor_single(hyp: List[str], ref: List[str], alpha=0.9, beta=3.0,
 
 
 def meteor(refs: Dict, hyps: Dict, use_stem: bool = True,
-           alignment: str = "beam", synsets: SynsetTable = None) -> float:
+           alignment: str = "beam", synsets: SynsetTable = None,
+           paraphrases: ParaphraseTable = None) -> float:
     scores = []
     for key in hyps:
         hyp = hyps[key][0].split()
         scores.append(max(_meteor_single(hyp, r.split(), use_stem=use_stem,
                                          alignment=alignment,
-                                         synsets=synsets)
+                                         synsets=synsets,
+                                         paraphrases=paraphrases)
                           for r in refs[key]))
     return sum(scores) / max(len(scores), 1)
 
 
 # ----------------------------------------------------------------- driver
 
-def score(ref: Dict, sample: Dict,
-          synsets: SynsetTable = None) -> Dict[str, float]:
+def score(ref: Dict, sample: Dict, synsets: SynsetTable = None,
+          paraphrases: ParaphraseTable = None) -> Dict[str, float]:
     """All metrics at once (cap_eval.py:22-39 interface).
 
-    ``synsets``: optional METEOR synonym table (``load_synsets``)."""
+    ``synsets`` / ``paraphrases``: optional METEOR synonym / paraphrase
+    tables (``load_synsets`` / ``load_paraphrases``)."""
     b = bleu(ref, sample)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
-        "METEOR": meteor(ref, sample, synsets=synsets),
+        "METEOR": meteor(ref, sample, synsets=synsets,
+                         paraphrases=paraphrases),
         "CIDEr": cider(ref, sample),
         "ROUGE_L": rouge_l(ref, sample),
     }
