@@ -25,7 +25,15 @@ WARMUP, ITERS, REPS = 1, 3, 8
 
 
 def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
-        remat=True, clen=CLEN, fused_vjp=True):
+        remat=True, clen=CLEN, fused_vjp=True, feed="dense", bits8=True):
+    # A/B knob for the decode scan's 8-bit dropout masks (default on in
+    # the library — this reroutes the generator's late import)
+    import functools
+    import vqa_tpu.ops.decode_scan as ds
+    if not hasattr(ds, "_orig_make_butd_caption_scan"):
+        ds._orig_make_butd_caption_scan = ds.make_butd_caption_scan
+    ds.make_butd_caption_scan = functools.partial(
+        ds._orig_make_butd_caption_scan, bits8_dropout=bits8)
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd" if caption else "none",
                       ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
@@ -41,12 +49,21 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
                          generator=model.generator, use_mtl=caption,
                          fused_cap_loss=False)
     rng = np.random.default_rng(0)
+    img = rng.standard_normal((B, NOBJ, VDIM), dtype=np.float32)
     batch = {
-        "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM),
-                                               dtype=np.float32)),
         "q": jnp.asarray(rng.integers(0, NTOKEN, (B, QLEN)), dtype=jnp.int32),
         "a": jnp.asarray((rng.random((B, ANS)) < 0.01).astype(np.float32)),
     }
+    if feed == "int8":
+        # the production quantized feed: the encoder emits the factored
+        # payload and the decoder scan pools over int8 (decode_scan.py
+        # factored_v); grad-of-v collapses to a [B, objs] accumulate
+        from vqa_tpu.data.shards import quantize_features
+        q8, scale = quantize_features(img)
+        batch["img_q"] = jnp.asarray(q8)
+        batch["img_scale"] = jnp.asarray(scale)
+    else:
+        batch["img"] = jnp.asarray(img)
     if caption:
         # clen < CLEN emulates a length-bucketed batch (loader truncates
         # the caption axis to the bucket bound; see data/loader.py)
@@ -127,6 +144,40 @@ def main():
             caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12)
         run("MTL B=4096 c=9 bucket, custom-VJP scan",
             caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9)
+    if which in ("all", "int8"):
+        # int8 feed: factored decode scan + lazy predictor pooling — the
+        # [B, objs, v_dim] dequantized features never enter the scan and
+        # grad-of-v is a [B, objs] accumulate (decode_scan.py factored_v)
+        run("MTL B=4096 c=20, int8 feed (factored scan)",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, feed="int8")
+        run("MTL B=4096 c=12 bucket, int8 feed",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12,
+            feed="int8")
+        run("MTL B=4096 c=9 bucket, int8 feed",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9,
+            feed="int8")
+        run("MTL B=8192 c=12 bucket, int8 feed",
+            caption=True, compute_dtype=jnp.bfloat16, B=8192, clen=12,
+            feed="int8")
+    if which == "ab":
+        # one-window A/B: dense+bernoulli (pre-uint8 layout) vs dense+u8
+        # masks vs int8 factored scan, all at the dominant c=12 bucket
+        run("MTL B=4096 c=12, dense, bernoulli masks",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12,
+            bits8=False)
+        run("MTL B=4096 c=12, dense, uint8 masks",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12)
+        run("MTL B=4096 c=12, int8 feed (factored scan)",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12,
+            feed="int8")
+        run("MTL B=4096 c=9, int8 feed",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9,
+            feed="int8")
+        run("MTL B=4096 c=20, int8 feed",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, feed="int8")
+        run("MTL B=8192 c=12, int8 feed",
+            caption=True, compute_dtype=jnp.bfloat16, B=8192, clen=12,
+            feed="int8")
 
 
 if __name__ == "__main__":

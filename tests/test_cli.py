@@ -291,6 +291,23 @@ def test_train_int8_feed(workdir):
     assert (ckpt / "best_model.ckpt").exists()
 
 
+def test_train_int8_feed_mtl(workdir):
+    """--feature_dtype int8 + MTL caption training: the decoder's
+    teacher-forcing scan takes the FACTORED int8 path (encoder v_q8/v_w ->
+    ops/decode_scan.py factored_v) end to end through the CLI, with finite
+    losses and the usual artifacts."""
+    path, root = workdir
+    proc = run_cli("main.py", common_args(root, [
+        "--mode", "train", "--comment", "cli_int8_mtl",
+        "--predictor_type", "base", "--decoder_type", "butd",
+        "--use_mtl", "1", "--feature_dtype", "int8",
+        "--c_len", str(root["c_len"]),
+    ]), cwd=path)
+    ckpt = path / "checkpoint" / "cli_int8_mtl"
+    assert (ckpt / "epoch_0.ckpt").exists()
+    assert "nan" not in proc.stdout.lower().split("avg_loss")[-1][:40]
+
+
 def test_train_with_length_bucketing(workdir):
     """--length_bucket 1: bucketed caption batches train through the CLI
     (MTL config shape) and produce finite losses + the usual artifacts."""

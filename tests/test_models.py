@@ -5,6 +5,8 @@ model matrix (README.md:20-26): Up-Down VQA, Up-Down captioning, VQA-E
 multi-task, Q-Relevant q-cap, ReGAT relation encoder.
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -343,10 +345,13 @@ def test_fused_vjp_scan_matches_stock(rng):
     nn.scan path: identical deterministic loss, and full-model parameter
     gradients equal at fp tolerance (deterministic — the two paths draw
     different dropout streams by design, see the fused_vjp attr note)."""
-    model, params, batch = build(rng, decoder_type="butd",
+    model, params, batch = build(rng, decoder_type="butd", att_type="new",
                                  predictor_type="base", use_mtl=True)
     stock = model.clone(generator=model.generator.clone(fused_vjp=False))
     assert model.generator.fused_vjp  # default on
+    # the fused path must actually be eligible (att_type='new' + BUTD+GRU;
+    # an att_type='base' build would silently compare stock vs stock)
+    assert model.generator.att_type == "new"
 
     lf, _ = model.apply(params, batch, method="get_loss", deterministic=True)
     ls, _ = stock.apply(params, batch, method="get_loss", deterministic=True)
@@ -406,3 +411,121 @@ def test_fused_vjp_gradients_match_autodiff_with_dropout(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-6,
                 err_msg=f"det={det} {jax.tree_util.keystr(path)}")
+
+
+def test_bits8_dropout_unbiased(rng):
+    """The decode scan's 8-bit-word dropout: keep rate equals the
+    QUANTIZED threshold probability (thresh/256) and the survivor scale
+    uses the same quantized value, so the estimator is exactly unbiased;
+    rate=0 is the identity, and the gradient passes the mask unscaled."""
+    from vqa_tpu.ops.decode_scan import apply_dropout as dropout
+    key = jax.random.key(3)
+    x = jnp.ones((512, 257), jnp.float32)
+    for rate in (0.2, 0.5, 0.11):
+        thresh = min(255, max(1, round((1 - rate) * 256)))
+        keep_q = thresh / 256.0
+        y = np.asarray(dropout(x, key, rate))
+        kept = y != 0.0
+        # observed keep rate ~ Binomial(n, keep_q): 5 sigma tolerance
+        n = y.size
+        sigma = math.sqrt(keep_q * (1 - keep_q) / n)
+        assert abs(kept.mean() - keep_q) < 5 * sigma, (rate, kept.mean())
+        # survivors are scaled by exactly 1/keep_q => E[y] == x
+        np.testing.assert_allclose(np.unique(y[kept]), 1.0 / keep_q,
+                                   rtol=1e-6)
+        assert abs(float(y.mean()) - 1.0) < 6 * sigma / keep_q
+        # same key => same mask; gradient is the mask * scale
+        np.testing.assert_array_equal(y, np.asarray(dropout(x, key, rate)))
+        g = np.asarray(jax.grad(lambda v: jnp.sum(dropout(v, key, rate)))(x))
+        np.testing.assert_allclose(g, np.where(kept, 1.0 / keep_q, 0.0),
+                                   rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dropout(x, key, 0.0)),
+                                  np.asarray(x))
+
+
+def test_factored_scan_matches_materialized(rng):
+    """factored_v mode (int8 feed): the scan over (q8, w) equals the plain
+    scan over the materialized v = w * q8 — outputs and every gradient
+    (params, w, vp, v_gates, prev_seq, h0s), deterministic AND under active
+    dropout (same fold_in keys => same masks). fp-reorder tolerance: the
+    pooling contracts (att * w) @ q8 instead of att @ (w * q8)."""
+    from vqa_tpu.ops.decode_scan import make_butd_caption_scan
+    B, NOBJ, VDIM, E, H, T = 4, 7, 24, 10, 12, 6
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.3
+    P = {
+        "word_rnn": {"wi": f(H + VDIM + E, 3 * H), "bi": f(3 * H),
+                     "wh": f(H, 3 * H), "bh": f(3 * H)},
+        "language_rnn": {"wi": f(VDIM + H, 3 * H), "bi": f(3 * H),
+                         "wh": f(H, 3 * H), "bh": f(3 * H)},
+        "h1_fcnet": {"w": f(H, H), "b": f(H)},
+        "attention": {"W_q": {"fc0": {"v": f(H, H), "g": jnp.float32(1.3),
+                                      "b": f(H)}},
+                      "linear": {"v": f(H, 1), "g": jnp.float32(0.8),
+                                 "b": f(1)}},
+    }
+    q8 = jnp.asarray(rng.integers(-127, 128, (B, NOBJ, VDIM)), jnp.int8)
+    w = jnp.asarray(rng.random((B, NOBJ)) * 0.05 + 0.01, jnp.float32)
+    rest = (f(B, NOBJ, H), f(B, 3 * H), f(B, T, E), f(B, H), f(B, H))
+    key = jax.random.key(7)
+    co = f(T, B, H)
+    for det in (True, False):
+        kw = dict(hidden_dim=H, v_dim=VDIM, dropout=0.4, att_dropout=0.25,
+                  deterministic=det)
+        fac_fn, _ = make_butd_caption_scan(factored_v=True, **kw)
+        _, ref_fn = make_butd_caption_scan(**kw)
+
+        def ref_of(P_, w_, *r):
+            v = w_[:, :, None] * q8.astype(w_.dtype)
+            return ref_fn(P_, v, *r, key)
+
+        np.testing.assert_allclose(
+            np.asarray(fac_fn(P, q8, w, *rest, key)),
+            np.asarray(ref_of(P, w, *rest)), rtol=2e-5, atol=2e-6)
+        argn = tuple(range(7))
+        gc = jax.grad(lambda P_, w_, *r: jnp.sum(
+            fac_fn(P_, q8, w_, *r, key) * co), argnums=argn)(P, w, *rest)
+        gr = jax.grad(lambda *a: jnp.sum(ref_of(*a) * co),
+                      argnums=argn)(P, w, *rest)
+        for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(gc)[0],
+                                jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
+                err_msg=f"det={det} {jax.tree_util.keystr(path)}")
+
+
+def test_mtl_int8_feed_matches_dense_feed(rng):
+    """End to end: MTL get_loss on an int8-feed batch (factored decode scan
+    + lazy predictor pooling) equals the dense-feed loss on the dequantized
+    features, and its gradients are finite. Pins the encoder's factored
+    payload (v_q8/v_w) against the materialized v = v_att * dequant(q8)."""
+    from vqa_tpu.data.shards import quantize_features
+    model, params, batch = build(rng, decoder_type="butd", att_type="new",
+                                 predictor_type="base", use_mtl=True)
+    img = np.asarray(batch["img"])
+    q8, scale = quantize_features(img)
+    int8_batch = dict(batch)
+    del int8_batch["img"]
+    int8_batch["img_q"] = jnp.asarray(q8)
+    int8_batch["img_scale"] = jnp.asarray(scale)
+    dense_batch = dict(batch)
+    dense_batch["img"] = jnp.asarray(q8.astype(np.float32)
+                                     * scale[..., None])
+
+    def loss_of(b):
+        def f(p):
+            l, _ = model.apply(p, b, method="get_loss", deterministic=True)
+            return l
+        return f
+
+    li = float(loss_of(int8_batch)(params))
+    ld = float(loss_of(dense_batch)(params))
+    np.testing.assert_allclose(li, ld, rtol=1e-5)
+    gi = jax.grad(loss_of(int8_batch))(params)
+    gd = jax.grad(loss_of(dense_batch))(params)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(gi)[0],
+                            jax.tree_util.tree_leaves(gd)):
+        assert np.all(np.isfinite(np.asarray(a))), \
+            jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))

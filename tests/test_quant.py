@@ -169,10 +169,31 @@ def test_lazy_v_sum_matches_materialized_pooling(rng):
         {"params": mparams["params"]["predictor"]}, embed)
     np.testing.assert_allclose(np.asarray(p_lazy), np.asarray(p_mat),
                                rtol=1e-4, atol=1e-5)
-    # training stays on the materialized path (deterministic=False)
+    # round 3: lazy v is active during TRAINING too (PARITY.md "int8-feed
+    # training numerics") — v_sum is emitted, and its gradient equals the
+    # gradient of the materialized pooling (exact algebra, fp reorder)
     out_tr = enc8.apply(params, batch, deterministic=False,
                         rngs={"dropout": jax.random.PRNGKey(0)})
-    assert "v_sum" not in out_tr
+    assert "v_sum" in out_tr and "v_q8" in out_tr and "v_w" in out_tr
+
+    def loss_lazy(p):
+        o = enc8.apply(p, batch, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(0)})
+        return jnp.sum(jnp.sin(o["v_sum"]))
+
+    def loss_mat(p):
+        o = enc8.apply(p, batch, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(0)})
+        return jnp.sum(jnp.sin(jnp.sum(o["v"], axis=1)))
+
+    g_lazy = jax.grad(loss_lazy)(params)
+    g_mat = jax.grad(loss_mat)(params)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_lazy),
+            jax.tree_util.tree_leaves_with_path(g_mat)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_grouped_self_similarity_exact(rng):

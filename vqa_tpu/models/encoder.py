@@ -54,6 +54,12 @@ class CaptionEncoder(nn.Module):
     def __call__(self, batch: Dict[str, jax.Array], *, deterministic: bool = True
                  ) -> Dict[str, Any]:
         out = {"v": BaseEncoder._visual_input(batch)}
+        if "img_q" in batch:
+            # factored form for int8-aware consumers: v == v_w * v_q8
+            # (no attention here, so the weights are just the dequant
+            # scales — see BaseEncoder.base_forward)
+            out["v_q8"] = batch["img_q"]
+            out["v_w"] = batch["img_scale"]
         if "c" in batch:
             out["c"] = self.embedding(batch["c"])
             out["c_target"] = batch["c"]
@@ -136,16 +142,26 @@ class BaseEncoder(nn.Module):
         v = v_att * v
         q = self.q_net(q, deterministic=deterministic)
         out = {"v": v, "q": q, "v_att": v_att}
-        if self.lazy_v and "img_q" in batch and deterministic:
-            # lazy v ("fold the scale into the attention weights"): the
-            # base predictors consume v.sum(1) only, so pool directly over
-            # the int8 payload with att*scale weights — the dequantized
-            # [B, objs, v_dim] features never hit HBM on that path (XLA DCE
-            # drops out['v'] when no head reads it). Replaces the feed
-            # economics of /root/reference/dataset.py:93-104.
+        if "img_q" in batch:
+            # factored attended features: v == v_w[:, :, None] * v_q8
+            # exactly (the dequant scale folded into the attention
+            # weights). Downstream int8-aware consumers (the decoder's
+            # factored_v scan, ops/decode_scan.py) read the int8 payload
+            # directly; out['v'] stays for everything else (XLA DCEs it
+            # when nothing reads it).
             w = v_att[..., 0] * batch["img_scale"].astype(v.dtype)
-            out["v_sum"] = jnp.einsum("bn,bnd->bd", w,
-                                      batch["img_q"].astype(w.dtype))
+            out["v_q8"], out["v_w"] = batch["img_q"], w
+            if self.lazy_v:
+                # lazy v ("fold the scale into the attention weights"): the
+                # base predictors consume v.sum(1) only, so pool directly
+                # over the int8 payload — the dequantized [B, objs, v_dim]
+                # features never hit HBM on that path. Exact algebra (fp
+                # reorder, PARITY.md "Deterministic folds"); active in
+                # training too — the einsum differentiates to the same
+                # values as sum(v_att * v, 1) up to fp reorder. Replaces
+                # the feed economics of /root/reference/dataset.py:93-104.
+                out["v_sum"] = jnp.einsum("bn,bnd->bd", w,
+                                          batch["img_q"].astype(w.dtype))
         if "c" in batch:
             out["c"] = self.embedding(batch["c"])
             out["c_target"] = batch["c"]
@@ -225,8 +241,10 @@ class RelationEncoder(BaseEncoder):
             return g_att
         out["v"] = output_v
         # the GCN branches replaced v; the base encoder's lazy pooled sum
-        # no longer corresponds to it
+        # and factored payload no longer correspond to it
         out.pop("v_sum", None)
+        out.pop("v_q8", None)
+        out.pop("v_w", None)
         return out
 
 

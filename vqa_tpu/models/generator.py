@@ -209,9 +209,16 @@ class DecoderBase(nn.Module):
         mask = mask.astype(acc_dtype)
 
         if self._fused_vjp_ok(v_gates):
+            # int8 feed: hand the scan the FACTORED visual input (int8
+            # payload + [B, objs] weights) — per-step pooling reads half
+            # the bytes and grad-of-v collapses to a [B, objs] accumulate
+            # (ops/decode_scan.py "factored_v")
+            v_factored = (None if "v_q8" not in batch else
+                          (batch["v_q8"], batch["v_w"].astype(v.dtype)))
             feats = self._fused_vjp_feats(v, att_cache, v_gates,
                                           caption[:, :steps, :], h,
-                                          deterministic)
+                                          deterministic,
+                                          v_factored=v_factored)
         else:
             def body(mdl, h, prev):
                 # vocab head deliberately NOT applied here: the scan emits
@@ -250,14 +257,17 @@ class DecoderBase(nn.Module):
                 and v_gates is not None and not self.is_initializing())
 
     def _fused_vjp_feats(self, v, att_cache, v_gates, prev_seq, h,
-                         deterministic: bool) -> jax.Array:
+                         deterministic: bool, v_factored=None) -> jax.Array:
         """Run the teacher-forcing scan through the custom-VJP
-        implementation (ops/decode_scan.py) -> [B, steps, H] features."""
+        implementation (ops/decode_scan.py) -> [B, steps, H] features.
+        ``v_factored``: optional ``(q8, w)`` int8-feed factorization of
+        ``v`` (then ``v`` is only used for its shape/dtype)."""
         from vqa_tpu.ops.decode_scan import make_butd_caption_scan
         scan_fn, _ = make_butd_caption_scan(
             hidden_dim=self.hidden_dim, v_dim=v.shape[-1],
             dropout=self.dropout, att_dropout=self.att_dropout,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            factored_v=v_factored is not None)
         params = self.variables["params"]
         P = {"word_rnn": params["word_rnn"],
              "h1_fcnet": params["h1_fcnet"],
@@ -266,8 +276,13 @@ class DecoderBase(nn.Module):
                            "linear": params["attention"]["linear"]}}
         key = (self.make_rng("dropout") if not deterministic
                else jax.random.key(0))
-        feats_tm = scan_fn(P, v, att_cache, v_gates, prev_seq,
-                           h[0], h[1], key)
+        if v_factored is not None:
+            q8, w = v_factored
+            feats_tm = scan_fn(P, q8, w, att_cache, v_gates, prev_seq,
+                               h[0], h[1], key)
+        else:
+            feats_tm = scan_fn(P, v, att_cache, v_gates, prev_seq,
+                               h[0], h[1], key)
         return jnp.swapaxes(feats_tm, 0, 1)
 
     def _ce_rows(self, feats: jax.Array, target: jax.Array,
