@@ -21,9 +21,10 @@ deliberately the stricter bar). vs_baseline = value / (5 * REF_GPU_QPS), so
 vs_baseline >= 1.0 means the 5x target is met.
 
 Two configurations (see PERF.md):
-- fast: bf16 parameters + the streaming Pallas GRU kernel (294k q/s measured)
-  — long XLA compile through this harness's remote-compile relay (~5-7 min),
-  and one observed compile hang, so it runs in a watchdogged subprocess;
+- fast: int8 feature feed + bf16 parameters + lazy-v pooling + the streaming
+  Pallas GRU kernel (716k q/s measured, round 3) — long XLA compile through
+  this harness's remote-compile relay (~5-7 min), and one observed compile
+  hang, so it runs in a watchdogged subprocess;
 - safe: f32 XLA (226k q/s, ~40 s compile) — the fallback that always lands.
 
 Measurement notes:

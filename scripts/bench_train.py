@@ -156,9 +156,11 @@ def main():
         run("MTL B=4096 c=9 bucket, int8 feed",
             caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9,
             feed="int8")
-        run("MTL B=8192 c=12 bucket, int8 feed",
-            caption=True, compute_dtype=jnp.bfloat16, B=8192, clen=12,
-            feed="int8")
+        # B=8192 OOMs since the deferred-d_vp backward (decode_scan.py):
+        # the emitted [T, B, objs, H] keep-mask residual is ~3.3 GB at that
+        # shape. No loss: B=8192 measured *slower* than B=4096 before the
+        # change (388.8 ms = 21.1k q/s vs 191.4 = 21.4k — batch scaling was
+        # already exhausted, PERF.md "MTL train step").
     if which == "ab":
         # one-window A/B: dense+bernoulli (pre-uint8 layout) vs dense+u8
         # masks vs int8 factored scan, all at the dominant c=12 bucket

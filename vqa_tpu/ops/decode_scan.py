@@ -24,10 +24,20 @@ This module hand-structures the backward instead (``jax.custom_vjp``):
   ``dv = einsum('tbn,tbd->bnd', att, g_attv)`` — an MXU contraction
   replacing T bandwidth-bound [B, objs, v_dim] select-adds.
 
-The grad of the hoisted attention v-projection (``d_vp``, [B, objs, H])
-still accumulates in-scan: its per-step contribution is gated elementwise
-by the attention-dropout mask, which breaks the outer-product structure the
-einsum deferral needs.
+The grad of the hoisted attention v-projection (``d_vp``, [B, objs, H]) is
+*also* deferred (round 3, second pass): the attention-dropout mask gates its
+per-step contribution elementwise, which breaks the outer-product structure
+a plain einsum deferral needs — so the forward emits the boolean keep-mask
+as a scan output ([T, B, objs, H] bytes, ~1.7 GB at the flagship B=4096
+c=12 shape) and the whole accumulation collapses to ONE post-scan fused
+reduce ``sum_t where(mask_t, d_logits_t ⊗ qp_t, 0) * (scale*k)`` — XLA
+fuses the mask/broadcast producers into the t-reduction, so the [T, B,
+objs, H] product never materializes. The backward scan body no longer
+re-runs the attention tail through ``jax.vjp`` either: with the mask and
+softmax weights saved, the only [B, objs, H]-sized backward work left
+in-scan is one masked contraction ``d_qp_pre = einsum('bn,bnh->bh', dl,
+where(mask, vp, 0))`` which simultaneously yields d_qp (x k), the linear
+kernel grad (x qp, summed over b), and — deferred — d_vp.
 
 Supported shape: BUTDDecoder + GRU cells + MultiplyAttention ('new') — the
 flagship MTL configuration. generator.py falls back to the stock nn.scan
@@ -147,9 +157,30 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
         return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
 
-    def seg_a(P, h1_in, h2_in, prev_t, v_gates, vp, k_d1, k_att):
-        """word RNN -> h1 FC -> attention weights (generator.py decode
-        up to the pooling): returns (h1', hq, att [B, objs])."""
+    # attention-dropout survivor scale, matching apply_dropout's quantized
+    # bits8 semantics (thresh/256 keep probability)
+    if p_att == 0.0:
+        att_scale = 1.0
+    elif bits8_dropout:
+        _att_thresh = min(255, max(1, round((1.0 - p_att) * 256)))
+        att_scale = 256.0 / _att_thresh
+    else:
+        att_scale = 1.0 / (1.0 - p_att)
+
+    def att_mask(key, shape):
+        """Boolean keep-mask for the [B, objs, H] attention joint — drawn
+        explicitly (not via apply_dropout) so the forward can EMIT it as a
+        scan output: the backward then neither regenerates the bits nor
+        re-runs the tail, and grad-of-vp defers to one post-scan reduce."""
+        if bits8_dropout:
+            return (jax.random.bits(key, shape, dtype=jnp.uint8)
+                    < jnp.uint8(_att_thresh))
+        return jax.random.bernoulli(key, 1.0 - p_att, shape)
+
+    def seg_a1(P, h1_in, h2_in, prev_t, v_gates, k_d1):
+        """word RNN -> h1 FC -> projected+ReLU query: the [B, H]-sized
+        chain of generator.py decode, up to (excluding) the attention
+        joint. Returns (h1', hq, qp)."""
         wr = P["word_rnn"]
         # wi rows: [0:H) h2, [H:H+VD) v_mean (hoisted: v_gates), rest prev
         xi = (_mm(h2_in, wr["wi"][:H]) + _mm(prev_t, wr["wi"][H + VD:])
@@ -161,11 +192,20 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
         hq = _mm(hd, fc["w"]) + fc["b"].astype(hd.dtype)
         wq = P["attention"]["W_q"]["fc0"]
         qp = jax.nn.relu(_mm(hq, _wn_kernel(wq)) + wq["b"].astype(hq.dtype))
-        joint = _dropout(vp * qp[:, None, :], k_att, p_att)
+        return h1, hq, qp
+
+    def att_tail(P, qp, vp, mask):
+        """attention joint -> dropout (precomputed mask) -> scalar logit
+        -> softmax: the [B, objs, H]-sized tail. Returns att [B, objs]."""
+        joint = vp * qp[:, None, :]
+        if mask is not None:
+            joint = jax.lax.select(
+                mask, joint * jnp.asarray(att_scale, joint.dtype),
+                jnp.zeros_like(joint))
         lin = P["attention"]["linear"]
         logits = (_mm(joint, _wn_kernel(lin))
                   + lin["b"].astype(joint.dtype))[..., 0]
-        return h1, hq, jax.nn.softmax(logits, axis=1)
+        return jax.nn.softmax(logits, axis=1)
 
     def seg_b(P, h2_in, hq, att_v, k_d2):
         """language RNN -> dropped pre-logit features."""
@@ -195,18 +235,26 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
             h1, h2 = carry
             prev_t, t = xs
             k1, k2, k3 = keys_for(key, t)
-            h1n, hq, att = seg_a(P, h1, h2, prev_t, v_gates, vp, k1, k2)
+            h1n, hq, qp = seg_a1(P, h1, h2, prev_t, v_gates, k1)
+            mask = att_mask(k2, vp.shape) if p_att > 0.0 else None
+            att = att_tail(P, qp, vp, mask)
             att_v = _pool(att, v)
             h2n, feat = seg_b(P, h2, hq, att_v, k3)
-            return (h1n, h2n), (h1, h2, att, att_v, feat)
+            ys = (h1, h2, att, att_v, feat)
+            if mask is not None:
+                ys = ys + (mask,)
+            return (h1n, h2n), ys
 
         T = prev_seq.shape[1]
         xs = (jnp.swapaxes(prev_seq, 0, 1), jnp.arange(T))
         _, ys = jax.lax.scan(body, (h1_0, h2_0), xs)
-        return ys  # (h1s, h2s, atts, att_vs, feats), all time-major
+        if p_att == 0.0:
+            ys = ys + (None,)
+        # (h1s, h2s, atts, att_vs, feats, masks-or-None), time-major
+        return ys
 
     def _bwd_common(P, v, vp, v_gates, prev_seq, key,
-                    h1s, h2s, atts, att_vs, d_feats):
+                    h1s, h2s, atts, att_vs, masks, d_feats):
         """Reverse scan shared by both modes. Returns
         ((dP, d_vp, d_vg, d_prevs, d_h1_0, d_h2_0), v-grads) where v-grads
         is ``dv`` (plain) or ``d_w`` (factored)."""
@@ -214,16 +262,23 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
         T = prev_tm.shape[0]
         if factored_v:
             q8, w = v
+        lin = P["attention"]["linear"]
+        k_lin = _wn_kernel(lin)[:, 0]  # [H], step-invariant
 
         def body(carry, xs):
-            d_h1, d_h2, dP, d_vp, d_vg, d_w = carry
-            h1_in, h2_in, att_v, prev_t, d_feat, t = xs
+            d_h1, d_h2, dP, d_vg, d_w, d_k, d_b = carry
+            if masks is not None:
+                h1_in, h2_in, att, att_v, mask, prev_t, d_feat, t = xs
+            else:
+                h1_in, h2_in, att, att_v, prev_t, d_feat, t = xs
+                mask = None
             k1, k2, k3 = keys_for(key, t)
-            # rebuild step t from the saved carries (same masks: same keys)
-            (h1n, hq, att), pb_a = jax.vjp(
-                lambda P_, h1_, h2_, pv_, vg_, vp_: seg_a(
-                    P_, h1_, h2_, pv_, vg_, vp_, k1, k2),
-                P, h1_in, h2_in, prev_t, v_gates, vp)
+            # rebuild the [B, H]-sized chain of step t from the saved
+            # carries (same dropout mask: same fold_in key)
+            (h1n, hq, qp), pb_a = jax.vjp(
+                lambda P_, h1_, h2_, pv_, vg_: seg_a1(
+                    P_, h1_, h2_, pv_, vg_, k1),
+                P, h1_in, h2_in, prev_t, v_gates)
             _, pb_b = jax.vjp(
                 lambda P_, h2_, hq_, av_: seg_b(P_, h2_, hq_, av_, k3),
                 P, h2_in, hq, att_v)
@@ -242,22 +297,72 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                 d_att = jnp.einsum("bd,bnd->bn", g_attv, v,
                                    precision=_precision(v.dtype),
                                    preferred_element_type=g_attv.dtype)
-            dP_a, d_h1_in, d_h2_a, d_prev, d_vg_t, d_vp_t = pb_a(
-                (d_h1, d_hq, d_att))
+            # hand-written attention-tail backward (joint -> dropout ->
+            # weight-normed linear -> softmax), from the SAVED att + mask:
+            # no [B, objs, H] joint is rebuilt, no dropout bits regenerated.
+            dl = att * (d_att - jnp.sum(att * d_att, axis=1, keepdims=True))
+            mvp = vp if mask is None else jnp.where(mask, vp,
+                                                    jnp.zeros((), vp.dtype))
+            # the single [B, objs, H]-sized op left in-scan; simultaneously
+            # the source of d_qp (x scale*k), d_k (x qp) and — post-scan,
+            # via the stacked (dl, qp) outputs — the deferred d_vp
+            d_qp_pre = jnp.einsum("bn,bnh->bh", dl, mvp,
+                                  precision=_precision(vp.dtype),
+                                  preferred_element_type=dl.dtype)
+            d_qp = d_qp_pre * (jnp.asarray(att_scale, dl.dtype)
+                               * k_lin.astype(dl.dtype))
+            d_k = d_k + jnp.einsum("bh,bh->h", qp, d_qp_pre,
+                                   precision=_precision(vp.dtype),
+                                   preferred_element_type=jnp.float32)
+            d_b = d_b + jnp.sum(dl, dtype=jnp.float32)
+            dP_a, d_h1_in, d_h2_a, d_prev, d_vg_t = pb_a(
+                (d_h1, d_hq, d_qp))
             dP = jax.tree_util.tree_map(
                 lambda a, b, c: a + b + c, dP, dP_a, dP_b)
             carry = (d_h1_in, d_h2_a + d_h2_b, dP,
-                     d_vp + d_vp_t, d_vg + d_vg_t, d_w)
-            return carry, (g_attv, d_prev)
+                     d_vg + d_vg_t, d_w, d_k, d_b)
+            return carry, (g_attv, d_prev, dl, qp)
 
         zP = jax.tree_util.tree_map(jnp.zeros_like, P)
         z_w = jnp.zeros_like(v[1]) if factored_v else jnp.zeros(())
         init = (jnp.zeros_like(h1s[0]), jnp.zeros_like(h2s[0]), zP,
-                jnp.zeros_like(vp), jnp.zeros_like(v_gates), z_w)
-        xs = (h1s, h2s, att_vs, prev_tm, d_feats, jnp.arange(T))
-        carry_out, (g_attvs, d_prevs) = jax.lax.scan(
+                jnp.zeros_like(v_gates), z_w,
+                jnp.zeros(k_lin.shape, jnp.float32),
+                jnp.zeros((), jnp.float32))
+        xs = (h1s, h2s, atts, att_vs) + (
+            (masks,) if masks is not None else ()) + (
+            prev_tm, d_feats, jnp.arange(T))
+        carry_out, (g_attvs, d_prevs, dls, qps) = jax.lax.scan(
             body, init, xs, reverse=True)
-        d_h1_0, d_h2_0, dP, d_vp, d_vg, d_w = carry_out
+        d_h1_0, d_h2_0, dP, d_vg, d_w, d_k_acc, d_b_acc = carry_out
+
+        # attention-linear param grads, accumulated by hand above (the
+        # reverse body never touches them), chained through the weight norm
+        d_k_full = (jnp.asarray(att_scale, jnp.float32)
+                    * d_k_acc)[:, None].astype(lin["v"].dtype)
+        _, pb_wn = jax.vjp(_wn_kernel, lin)
+        (d_lin,) = pb_wn(d_k_full)
+        lg = dP["attention"]["linear"]
+        dP = {**dP, "attention": {**dP["attention"], "linear": {
+            "v": lg["v"] + d_lin["v"], "g": lg["g"] + d_lin["g"],
+            "b": lg["b"] + jnp.reshape(d_b_acc, lin["b"].shape
+                                       ).astype(lin["b"].dtype)}}}
+
+        # deferred grad-of-vp: T [B, objs, H] select-accumulates -> ONE
+        # fused masked t-reduction (mask path) or MXU contraction (no-mask
+        # path); the [T, B, objs, H] product never materializes
+        scale_k = (jnp.asarray(att_scale, dls.dtype)
+                   * k_lin.astype(dls.dtype))
+        if masks is not None:
+            prod = dls[:, :, :, None] * qps[:, :, None, :]
+            d_vp = jnp.sum(jnp.where(masks, prod,
+                                     jnp.zeros((), prod.dtype)), axis=0)
+        else:
+            d_vp = jnp.einsum("tbn,tbh->bnh", dls, qps,
+                              precision=_precision(vp.dtype),
+                              preferred_element_type=dls.dtype)
+        d_vp = (d_vp * scale_k).astype(vp.dtype)
+
         grads = (dP, d_vp, d_vg, jnp.swapaxes(d_prevs, 0, 1),
                  d_h1_0, d_h2_0)
         if factored_v:
@@ -279,16 +384,16 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                                 key)
 
         def scan_fn_fwd(P, q8, w, vp, v_gates, prev_seq, h1_0, h2_0, key):
-            h1s, h2s, atts, att_vs, feats = _fwd(
+            h1s, h2s, atts, att_vs, feats, masks = _fwd(
                 P, (q8, w), vp, v_gates, prev_seq, h1_0, h2_0, key)
             return feats, (P, q8, w, vp, v_gates, prev_seq, key,
-                           h1s, h2s, atts, att_vs)
+                           h1s, h2s, atts, att_vs, masks)
 
         def scan_fn_bwd(res, d_feats):
             (P, q8, w, vp, v_gates, prev_seq, key,
-             h1s, h2s, atts, att_vs) = res
+             h1s, h2s, atts, att_vs, masks) = res
             grads, d_w = _bwd_common(P, (q8, w), vp, v_gates, prev_seq, key,
-                                     h1s, h2s, atts, att_vs, d_feats)
+                                     h1s, h2s, atts, att_vs, masks, d_feats)
             dP, d_vp, d_vg, d_prevs, d_h1_0, d_h2_0 = grads
             d_q8 = np.zeros(q8.shape, dtype=jax.dtypes.float0)  # int data
             return (dP, d_q8, d_w, d_vp, d_vg, d_prevs,
@@ -302,15 +407,16 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
             return reference_fn(P, v, vp, v_gates, prev_seq, h1_0, h2_0, key)
 
         def scan_fn_fwd(P, v, vp, v_gates, prev_seq, h1_0, h2_0, key):
-            h1s, h2s, atts, att_vs, feats = _fwd(
+            h1s, h2s, atts, att_vs, feats, masks = _fwd(
                 P, v, vp, v_gates, prev_seq, h1_0, h2_0, key)
             return feats, (P, v, vp, v_gates, prev_seq, key,
-                           h1s, h2s, atts, att_vs)
+                           h1s, h2s, atts, att_vs, masks)
 
         def scan_fn_bwd(res, d_feats):
-            P, v, vp, v_gates, prev_seq, key, h1s, h2s, atts, att_vs = res
+            (P, v, vp, v_gates, prev_seq, key,
+             h1s, h2s, atts, att_vs, masks) = res
             grads, dv = _bwd_common(P, v, vp, v_gates, prev_seq, key,
-                                    h1s, h2s, atts, att_vs, d_feats)
+                                    h1s, h2s, atts, att_vs, masks, d_feats)
             dP, d_vp, d_vg, d_prevs, d_h1_0, d_h2_0 = grads
             return (dP, dv, d_vp, d_vg, d_prevs, d_h1_0, d_h2_0, None)
 
