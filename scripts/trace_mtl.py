@@ -75,21 +75,30 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     # optional 2nd arg: caption-axis length (emulates a --length_bucket feed)
     clen = int(sys.argv[2]) if len(sys.argv) > 2 else CLEN
-    print("devices:", jax.devices(), "B:", B, "clen:", clen, flush=True)
+    # optional 3rd arg "int8": the production quantized feed (factored scan)
+    feed = sys.argv[3] if len(sys.argv) > 3 else "dense"
+    print("devices:", jax.devices(), "B:", B, "clen:", clen, "feed:", feed,
+          flush=True)
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024,
                       decoder_hidden_dim=1024, ans_dim=ANS, c_len=CLEN,
                       att_type="new", use_mtl=True)
     rng = np.random.default_rng(0)
+    img = rng.standard_normal((B, NOBJ, VDIM), dtype=np.float32)
     batch = {
-        "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM),
-                                               dtype=np.float32)),
         "q": jnp.asarray(rng.integers(0, NTOKEN, (B, QLEN)), dtype=jnp.int32),
         "a": jnp.asarray((rng.random((B, ANS)) < 0.01).astype(np.float32)),
         "c": jnp.asarray(rng.integers(0, NTOKEN, (B, clen)), dtype=jnp.int32),
         "cap_len": jnp.asarray(rng.integers(5, clen + 1, (B,)).astype(np.int32)),
     }
+    if feed == "int8":
+        from vqa_tpu.data.shards import quantize_features
+        q8, scale = quantize_features(img)
+        batch["img_q"] = jnp.asarray(q8)
+        batch["img_scale"] = jnp.asarray(scale)
+    else:
+        batch["img"] = jnp.asarray(img)
     tx = optim_lib.make_optimizer(lr=2e-3, max_norm=0.25)
     params = model.init(jax.random.PRNGKey(0),
                         {k: v[:8] for k, v in batch.items()})["params"]
