@@ -25,7 +25,8 @@ WARMUP, ITERS, REPS = 1, 3, 8
 
 
 def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
-        remat=True, clen=CLEN, fused_vjp=True, feed="dense", bits8=True):
+        remat=True, clen=CLEN, fused_vjp=True, feed="dense", bits8=True,
+        pallas_att=False):
     # A/B knob for the decode scan's 8-bit dropout masks (default on in
     # the library — this reroutes the generator's late import)
     import functools
@@ -43,6 +44,8 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
         model = model.clone(generator=model.generator.clone(remat_scan=False))
     if caption and not fused_vjp:
         model = model.clone(generator=model.generator.clone(fused_vjp=False))
+    if caption and pallas_att:
+        model = model.clone(generator=model.generator.clone(pallas_att=True))
     if not fused_cap:
         from vqa_tpu.models.wrapper import VQAModel
         model = VQAModel(encoder=model.encoder, predictor=model.predictor,
@@ -180,6 +183,28 @@ def main():
         run("MTL B=8192 c=12, int8 feed",
             caption=True, compute_dtype=jnp.bfloat16, B=8192, clen=12,
             feed="int8")
+    if which == "pa":
+        # fused decode-attention kernels (ops/pallas/decode_att.py):
+        # in-kernel PRNG, no mask HBM traffic, no mask residual
+        run("MTL B=4096 c=12, int8 feed, pallas att",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12,
+            feed="int8", pallas_att=True)
+        run("MTL B=4096 c=9, int8 feed, pallas att",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=9,
+            feed="int8", pallas_att=True)
+        run("MTL B=4096 c=20, int8 feed, pallas att",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096,
+            feed="int8", pallas_att=True)
+        run("MTL B=4096 c=12, int8 feed (XLA reference window)",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12,
+            feed="int8")
+        # the mask residual is gone on this path: B=8192 fits again
+        run("MTL B=8192 c=12, int8 feed, pallas att",
+            caption=True, compute_dtype=jnp.bfloat16, B=8192, clen=12,
+            feed="int8", pallas_att=True)
+        run("MTL B=4096 c=12, dense, pallas att",
+            caption=True, compute_dtype=jnp.bfloat16, B=4096, clen=12,
+            pallas_att=True)
 
 
 if __name__ == "__main__":

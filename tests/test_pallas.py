@@ -235,3 +235,106 @@ def test_gcn_module_pallas_path_matches_xla(rng):
     grads = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(grads))
+
+
+# ---------------------------------------------------------------------------
+# Fused decode-attention kernels (ops/pallas/decode_att.py): the explicit-
+# mask variants exercise all non-RNG math in interpret mode; the hardware-
+# PRNG stream contract is pinned on real TPU by
+# scripts/validate_decode_att.py (no interpret lowering for pltpu.prng_*).
+
+
+def _decode_att_inputs(rng, B=8, objs=5, H=16, D=12):
+    vp = rng.standard_normal((B, objs, H)).astype(np.float32) * 0.3
+    pool = rng.standard_normal((B, objs, D)).astype(np.float32)
+    w = rng.standard_normal((B, objs)).astype(np.float32) * 0.3
+    qp = rng.standard_normal((B, H)).astype(np.float32) * 0.3
+    k = rng.standard_normal((1, H)).astype(np.float32) * 0.3
+    mask = (rng.random((B, objs, H)) < 0.8).astype(np.uint8)
+    return tuple(map(jnp.asarray, (vp, pool, w, qp, k, mask)))
+
+
+@pytest.mark.parametrize("factored", [True, False])
+def test_decode_att_fwd_bwd_match_reference(rng, factored):
+    from vqa_tpu.ops.pallas import decode_att as da
+    vp, pool, w, qp, k, mask = _decode_att_inputs(rng)
+    B, objs, H = vp.shape
+    D = pool.shape[-1]
+    wx = w if factored else None
+    scale = 256.0 / 205
+    vp2, pool2 = vp.reshape(B, -1), pool.reshape(B, -1)
+    m2 = mask.reshape(B, -1)
+
+    att_r, av_r = da.fwd_reference(vp, pool, wx, qp, k, mask,
+                                   att_scale=scale)
+    att_k, av_k = da.decode_att_fwd(
+        vp2, pool2, wx, qp, k, None, objs=objs, att_scale=scale,
+        thresh=205, tile_b=4, interpret=True, explicit_mask=m2)
+    np.testing.assert_allclose(np.asarray(att_k), np.asarray(att_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(av_k), np.asarray(av_r),
+                               rtol=1e-4, atol=1e-5)
+
+    gav = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    got = da.decode_att_bwd(vp2, pool2, wx, att_r, gav, None, objs=objs,
+                            thresh=205, tile_b=4, interpret=True,
+                            explicit_mask=m2)
+    want = da.bwd_reference(vp, pool, wx, att_r, gav, mask)
+    for g, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_decode_att_dvp_matches_reference(rng):
+    from vqa_tpu.ops.pallas import decode_att as da
+    T, B, objs, H = 3, 8, 5, 16
+    dls = jnp.asarray(rng.standard_normal((T, B, objs)).astype(np.float32))
+    qps = jnp.asarray(rng.standard_normal((T, B, H)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32))
+    masks = jnp.asarray(
+        (rng.random((T, B, objs, H)) < 0.8).astype(np.uint8))
+    scale = 256.0 / 205
+    want = da.dvp_reference(dls, qps, k, masks, att_scale=scale,
+                            out_dtype=jnp.float32)
+    got = da.decode_att_dvp(dls, qps, k, None, objs=objs, att_scale=scale,
+                            thresh=205, out_dtype=jnp.float32, tile_b=4,
+                            interpret=True,
+                            explicit_masks=masks.reshape(T, B, -1))
+    np.testing.assert_allclose(np.asarray(got).reshape(B, objs, H),
+                               np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("factored", [True, False])
+def test_decode_att_backward_formulas_match_autodiff(rng, factored):
+    """The hand-written backward (bwd_reference + single-step
+    dvp_reference, the exact math the kernels implement) == jax.vjp of
+    fwd_reference with the mask held fixed — proving the decode_scan
+    pallas path computes the same cotangents autodiff would."""
+    from vqa_tpu.ops.pallas import decode_att as da
+    vp, pool, w, qp, k, mask = _decode_att_inputs(rng)
+    wx = w if factored else None
+    scale = 256.0 / 205
+    gav = jnp.asarray(
+        rng.standard_normal(pool.shape[::2]).astype(np.float32))
+
+    def f(vp_, qp_, w_):
+        att, av = da.fwd_reference(vp_, pool, w_ if factored else None,
+                                   qp_, k, mask, att_scale=scale)
+        return av, att
+
+    (_, att), pb = jax.vjp(f, vp, qp, w, has_aux=False)
+    d_vp_auto, d_qp_auto, d_w_auto = pb((gav, jnp.zeros_like(att)))
+
+    d_qp_pre, m, dl = da.bwd_reference(vp, pool, wx, att, gav, mask)
+    d_qp = d_qp_pre * (scale * k[0])
+    np.testing.assert_allclose(np.asarray(d_qp), np.asarray(d_qp_auto),
+                               rtol=1e-4, atol=1e-5)
+    d_vp = da.dvp_reference(dl[None], qp[None], k,
+                            mask[None], att_scale=scale,
+                            out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(d_vp), np.asarray(d_vp_auto),
+                               rtol=1e-4, atol=1e-5)
+    if factored:
+        np.testing.assert_allclose(np.asarray(att * m),
+                                   np.asarray(d_w_auto),
+                                   rtol=1e-4, atol=1e-5)

@@ -89,6 +89,13 @@ class DecoderBase(nn.Module):
     # equally valid — random stream than the nn.scan path (fold_in per
     # step vs split_rngs; same caveat as --prng_impl).
     fused_vjp: bool = True
+    # route the fused-VJP scan's attention tail + pooling (and its
+    # backward + deferred grad-of-vp) through the TPU Pallas kernels in
+    # ops/pallas/decode_att.py: the attention-dropout mask is regenerated
+    # from the hardware PRNG wherever needed and never touches HBM.
+    # TPU-only, flagship decode shapes only (decode_att.supported);
+    # falls back silently otherwise.
+    pallas_att: bool = False
 
     def hoisted_gates(self, v_mean, prev_dim: int):
         """Loop-invariant input-gate cache (BUTD overrides; None = n/a)."""
@@ -263,11 +270,21 @@ class DecoderBase(nn.Module):
         ``v_factored``: optional ``(q8, w)`` int8-feed factorization of
         ``v`` (then ``v`` is only used for its shape/dtype)."""
         from vqa_tpu.ops.decode_scan import make_butd_caption_scan
+        use_pa = False
+        if self.pallas_att and jax.default_backend() == "tpu":
+            from vqa_tpu.ops.pallas.decode_att import pick_tile, supported
+            pool = v_factored[0] if v_factored is not None else v
+            use_pa = (supported(v.shape[0], v.shape[1], self.hidden_dim,
+                                pool.shape[-1])
+                      and pick_tile(v.shape[0], v.shape[1], self.hidden_dim,
+                                    pool.shape[-1], v.dtype.itemsize,
+                                    pool.dtype.itemsize) > 0)
         scan_fn, _ = make_butd_caption_scan(
             hidden_dim=self.hidden_dim, v_dim=v.shape[-1],
             dropout=self.dropout, att_dropout=self.att_dropout,
             deterministic=deterministic,
-            factored_v=v_factored is not None)
+            factored_v=v_factored is not None,
+            pallas_att=use_pa)
         params = self.variables["params"]
         P = {"word_rnn": params["word_rnn"],
              "h1_fcnet": params["h1_fcnet"],
@@ -488,11 +505,12 @@ def set_decoder(decoder_type: str,
                 dropout: float = 0.5,
                 rnn_type: str = "GRU",
                 att_type: str = "base",
-                att_dropout: float = 0.2):
+                att_dropout: float = 0.2,
+                pallas_att: bool = False):
     """String-keyed decoder factory mirroring generator.py:12-37."""
     if decoder_type == "none":
         return None
     cls = {"base": BaseDecoder, "butd": BUTDDecoder}[decoder_type]
     return cls(ntoken=ntoken, hidden_dim=hidden_dim, max_len=max_len,
                dropout=dropout, rnn_type=rnn_type, att_type=att_type,
-               att_dropout=att_dropout)
+               att_dropout=att_dropout, pallas_att=pallas_att)

@@ -223,6 +223,7 @@ def set_model(encoder_type: str = "base",
         decoder_type=decoder_type, ntoken=ntoken,
         hidden_dim=decoder_hidden_dim, max_len=c_len, dropout=dropout,
         rnn_type=rnn_type, att_type=att_type, att_dropout=att_dropout,
+        pallas_att=use_pallas,
     )
     return VQAModel(encoder=encoder, predictor=predictor, generator=generator,
                     use_mtl=use_mtl)

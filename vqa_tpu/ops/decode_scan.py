@@ -109,10 +109,23 @@ def apply_dropout(x, key, rate, bits8=True):
     return jax.lax.select(mask, x / keep, jnp.zeros_like(x))
 
 
+def _step_seeds(key, T: int) -> jax.Array:
+    """Per-step int32 PRNG seeds for the decode-attention kernels.
+
+    Derived from the dropout key (so resume/replay semantics match the
+    rest of the step) at a fold_in index far outside the [0, T) range the
+    per-step dropout keys use. Recomputed identically in forward and
+    backward — never a residual."""
+    bits = jax.random.bits(jax.random.fold_in(key, 0x5EED0A77), (T,),
+                           jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
 def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                            att_dropout: float, deterministic: bool,
                            bits8_dropout: bool = True,
-                           factored_v: bool = False):
+                           factored_v: bool = False,
+                           pallas_att: bool = False):
     """Build ``(scan_fn, reference_fn)`` for one decoder configuration.
 
     Both share the signature
@@ -134,6 +147,16 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
     — int8 payload [B, objs, v_dim] + float weights [B, objs], with
     ``v == w[:, :, None] * q8`` (see module docstring): signature
     ``(P, q8, w, vp, v_gates, prev_seq, h1_0, h2_0, key)``.
+
+    ``pallas_att=True`` routes each step's attention tail + pooling (and
+    the backward's masked contraction + the deferred grad-of-vp) through
+    the fused TPU kernels in ``ops/pallas/decode_att.py``: the attention
+    dropout mask is regenerated from the hardware PRNG wherever needed
+    and never touches HBM (no rng-op write, no scan residual, no 1.66 GB
+    post-scan read). TPU-only (the kernel PRNG has no interpret lowering);
+    callers gate on ``decode_att.supported``. The mask stream differs
+    from the bits8 jax stream (same quantized keep probability thresh/256;
+    the usual --prng_impl caveat).
     """
     H, VD = hidden_dim, v_dim
     p_drop = 0.0 if deterministic else dropout
@@ -176,6 +199,33 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
             return (jax.random.bits(key, shape, dtype=jnp.uint8)
                     < jnp.uint8(_att_thresh))
         return jax.random.bernoulli(key, 1.0 - p_att, shape)
+
+    # fused-kernel path constants: the kernels quantize the keep
+    # probability to thresh/256 regardless of bits8_dropout
+    if pallas_att:
+        from vqa_tpu.ops.pallas import decode_att as _da
+        if p_att > 0.0:
+            pa_thresh = min(255, max(1, round((1.0 - p_att) * 256)))
+            pa_scale = 256.0 / pa_thresh
+        else:
+            pa_thresh, pa_scale = None, 1.0
+
+        def _pa_inputs(v, vp):
+            """(vp2 [B, objs*H], pool2 [B, objs*D], w-or-None, tile_b).
+
+            tile_b MUST be identical for the fwd / bwd / d_vp kernels of
+            one step (the PRNG mask stream is per-tile): computed once
+            here from the shared shapes/dtypes."""
+            B, objs = vp.shape[0], vp.shape[1]
+            vp2 = vp.reshape(B, objs * vp.shape[2])
+            if factored_v:
+                q8, w = v
+                pool2 = q8.reshape(B, objs * q8.shape[2])
+            else:
+                pool2, w = v.reshape(B, objs * v.shape[2]), None
+            tile = _da.pick_tile(B, objs, vp.shape[2], pool2.shape[1] // objs,
+                                 vp.dtype.itemsize, pool2.dtype.itemsize)
+            return vp2, pool2, w, tile
 
     def seg_a1(P, h1_in, h2_in, prev_t, v_gates, k_d1):
         """word RNN -> h1 FC -> projected+ReLU query: the [B, H]-sized
@@ -231,6 +281,29 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                           preferred_element_type=att.dtype)
 
     def _fwd(P, v, vp, v_gates, prev_seq, h1_0, h2_0, key):
+        T = prev_seq.shape[1]
+
+        if pallas_att:
+            vp2, pool2, w, pa_tile = _pa_inputs(v, vp)
+            k_arr = _wn_kernel(P["attention"]["linear"])[:, 0][None, :]
+            seeds = _step_seeds(key, T)
+
+            def body(carry, xs):
+                h1, h2 = carry
+                prev_t, t, seed_t = xs
+                k1, _, k3 = keys_for(key, t)
+                h1n, hq, qp = seg_a1(P, h1, h2, prev_t, v_gates, k1)
+                att, att_v = _da.decode_att_fwd(
+                    vp2, pool2, w, qp, k_arr, seed_t[None],
+                    objs=vp.shape[1], att_scale=pa_scale, thresh=pa_thresh,
+                    tile_b=pa_tile)
+                h2n, feat = seg_b(P, h2, hq, att_v, k3)
+                return (h1n, h2n), (h1, h2, att, att_v, feat)
+
+            xs = (jnp.swapaxes(prev_seq, 0, 1), jnp.arange(T), seeds)
+            _, ys = jax.lax.scan(body, (h1_0, h2_0), xs)
+            return ys + (None,)   # no mask residual: the kernels regenerate
+
         def body(carry, xs):
             h1, h2 = carry
             prev_t, t = xs
@@ -245,7 +318,6 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                 ys = ys + (mask,)
             return (h1n, h2n), ys
 
-        T = prev_seq.shape[1]
         xs = (jnp.swapaxes(prev_seq, 0, 1), jnp.arange(T))
         _, ys = jax.lax.scan(body, (h1_0, h2_0), xs)
         if p_att == 0.0:
@@ -264,10 +336,19 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
             q8, w = v
         lin = P["attention"]["linear"]
         k_lin = _wn_kernel(lin)[:, 0]  # [H], step-invariant
+        if pallas_att:
+            vp2, pool2, w_pa, pa_tile = _pa_inputs(v, vp)
+            seeds = _step_seeds(key, T)   # identical recompute, no residual
+            eff_scale = pa_scale
+        else:
+            eff_scale = att_scale
 
         def body(carry, xs):
             d_h1, d_h2, dP, d_vg, d_w, d_k, d_b = carry
-            if masks is not None:
+            if pallas_att:
+                h1_in, h2_in, att, att_v, seed_t, prev_t, d_feat, t = xs
+                mask = None
+            elif masks is not None:
                 h1_in, h2_in, att, att_v, mask, prev_t, d_feat, t = xs
             else:
                 h1_in, h2_in, att, att_v, prev_t, d_feat, t = xs
@@ -283,9 +364,17 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                 lambda P_, h2_, hq_, av_: seg_b(P_, h2_, hq_, av_, k3),
                 P, h2_in, hq, att_v)
             dP_b, d_h2_b, d_hq, g_attv = pb_b((d_h2, d_feat))
+            if pallas_att:
+                # fused kernel: m = g_attv . pool_n, softmax cotangent dl,
+                # masked contraction d_qp_pre — mask regenerated in-kernel
+                d_qp_pre, m, dl = _da.decode_att_bwd(
+                    vp2, pool2, w_pa, att, g_attv, seed_t[None],
+                    objs=vp.shape[1], thresh=pa_thresh, tile_b=pa_tile)
+                if factored_v:
+                    d_w = d_w + att * m
             # the only in-scan read of v/q8: d_att for THIS step feeds the
             # sequential d_h chain and cannot be deferred
-            if factored_v:
+            elif factored_v:
                 m = jnp.einsum("bd,bnd->bn", g_attv, q8.astype(g_attv.dtype),
                                precision=_precision(g_attv.dtype),
                                preferred_element_type=g_attv.dtype)
@@ -297,19 +386,22 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                 d_att = jnp.einsum("bd,bnd->bn", g_attv, v,
                                    precision=_precision(v.dtype),
                                    preferred_element_type=g_attv.dtype)
-            # hand-written attention-tail backward (joint -> dropout ->
-            # weight-normed linear -> softmax), from the SAVED att + mask:
-            # no [B, objs, H] joint is rebuilt, no dropout bits regenerated.
-            dl = att * (d_att - jnp.sum(att * d_att, axis=1, keepdims=True))
-            mvp = vp if mask is None else jnp.where(mask, vp,
-                                                    jnp.zeros((), vp.dtype))
-            # the single [B, objs, H]-sized op left in-scan; simultaneously
-            # the source of d_qp (x scale*k), d_k (x qp) and — post-scan,
-            # via the stacked (dl, qp) outputs — the deferred d_vp
-            d_qp_pre = jnp.einsum("bn,bnh->bh", dl, mvp,
-                                  precision=_precision(vp.dtype),
-                                  preferred_element_type=dl.dtype)
-            d_qp = d_qp_pre * (jnp.asarray(att_scale, dl.dtype)
+            if not pallas_att:
+                # hand-written attention-tail backward (joint -> dropout ->
+                # weight-normed linear -> softmax), from the SAVED att +
+                # mask: no [B, objs, H] joint rebuilt, no bits regenerated.
+                dl = att * (d_att
+                            - jnp.sum(att * d_att, axis=1, keepdims=True))
+                mvp = vp if mask is None else jnp.where(
+                    mask, vp, jnp.zeros((), vp.dtype))
+                # the single [B, objs, H]-sized op left in-scan;
+                # simultaneously the source of d_qp (x scale*k), d_k (x qp)
+                # and — post-scan, via the stacked (dl, qp) outputs — the
+                # deferred d_vp
+                d_qp_pre = jnp.einsum("bn,bnh->bh", dl, mvp,
+                                      precision=_precision(vp.dtype),
+                                      preferred_element_type=dl.dtype)
+            d_qp = d_qp_pre * (jnp.asarray(eff_scale, dl.dtype)
                                * k_lin.astype(dl.dtype))
             d_k = d_k + jnp.einsum("bh,bh->h", qp, d_qp_pre,
                                    precision=_precision(vp.dtype),
@@ -329,8 +421,13 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                 jnp.zeros_like(v_gates), z_w,
                 jnp.zeros(k_lin.shape, jnp.float32),
                 jnp.zeros((), jnp.float32))
-        xs = (h1s, h2s, atts, att_vs) + (
-            (masks,) if masks is not None else ()) + (
+        if pallas_att:
+            extra = (seeds,)
+        elif masks is not None:
+            extra = (masks,)
+        else:
+            extra = ()
+        xs = (h1s, h2s, atts, att_vs) + extra + (
             prev_tm, d_feats, jnp.arange(T))
         carry_out, (g_attvs, d_prevs, dls, qps) = jax.lax.scan(
             body, init, xs, reverse=True)
@@ -338,7 +435,7 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
 
         # attention-linear param grads, accumulated by hand above (the
         # reverse body never touches them), chained through the weight norm
-        d_k_full = (jnp.asarray(att_scale, jnp.float32)
+        d_k_full = (jnp.asarray(eff_scale, jnp.float32)
                     * d_k_acc)[:, None].astype(lin["v"].dtype)
         _, pb_wn = jax.vjp(_wn_kernel, lin)
         (d_lin,) = pb_wn(d_k_full)
@@ -351,17 +448,25 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
         # deferred grad-of-vp: T [B, objs, H] select-accumulates -> ONE
         # fused masked t-reduction (mask path) or MXU contraction (no-mask
         # path); the [T, B, objs, H] product never materializes
-        scale_k = (jnp.asarray(att_scale, dls.dtype)
-                   * k_lin.astype(dls.dtype))
-        if masks is not None:
-            prod = dls[:, :, :, None] * qps[:, :, None, :]
-            d_vp = jnp.sum(jnp.where(masks, prod,
-                                     jnp.zeros((), prod.dtype)), axis=0)
+        if pallas_att:
+            # kernel regenerates each step's mask and applies scale*k:
+            # nothing mask-sized is ever read from HBM
+            d_vp = _da.decode_att_dvp(
+                dls, qps, k_lin[None, :], seeds, objs=vp.shape[1],
+                att_scale=pa_scale, thresh=pa_thresh, out_dtype=vp.dtype,
+                tile_b=pa_tile).reshape(vp.shape)
         else:
-            d_vp = jnp.einsum("tbn,tbh->bnh", dls, qps,
-                              precision=_precision(vp.dtype),
-                              preferred_element_type=dls.dtype)
-        d_vp = (d_vp * scale_k).astype(vp.dtype)
+            scale_k = (jnp.asarray(att_scale, dls.dtype)
+                       * k_lin.astype(dls.dtype))
+            if masks is not None:
+                prod = dls[:, :, :, None] * qps[:, :, None, :]
+                d_vp = jnp.sum(jnp.where(masks, prod,
+                                         jnp.zeros((), prod.dtype)), axis=0)
+            else:
+                d_vp = jnp.einsum("tbn,tbh->bnh", dls, qps,
+                                  precision=_precision(vp.dtype),
+                                  preferred_element_type=dls.dtype)
+            d_vp = (d_vp * scale_k).astype(vp.dtype)
 
         grads = (dP, d_vp, d_vg, jnp.swapaxes(d_prevs, 0, 1),
                  d_h1_0, d_h2_0)
