@@ -372,6 +372,31 @@ def test_fused_vjp_scan_matches_stock(rng):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_pallas_att_gate_falls_back_off_tpu(rng):
+    """`pallas_att=True` (wired from --use_pallas) must be a no-op off
+    TPU: the generator's backend gate (models/generator.py
+    caption_features) falls back to the XLA scan, so loss and gradients
+    are bit-identical to pallas_att=False on this CPU test backend."""
+    model, params, batch = build(rng, decoder_type="butd", att_type="new",
+                                 predictor_type="base", use_mtl=True)
+    pa = model.clone(generator=model.generator.clone(pallas_att=True))
+
+    def loss_of(m):
+        def f(p):
+            l, _ = m.apply(p, batch, method="get_loss",
+                           deterministic=False,
+                           rngs={"dropout": jax.random.key(3)})
+            return l
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_of(model))(params)
+    l1, g1 = jax.value_and_grad(loss_of(pa))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_vjp_gradients_match_autodiff_with_dropout(rng):
     """The hand-structured backward equals plain autodiff of the identical
     pure forward under ACTIVE dropout (same fold_in keys => same masks) —

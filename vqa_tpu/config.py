@@ -139,7 +139,11 @@ def parse_args(argv=None):
     # (int 0/1, not type=bool: bool('0') is True — the truthiness trap)
     parser.add_argument("--use_pallas", type=int, default=0,
                         help="route eligible ops through fused Pallas kernels "
-                             "(bf16 inference fast path)")
+                             "(bf16 inference fast path; in MTL caption "
+                             "training, the fused decode-attention kernels — "
+                             "the attention-dropout mask comes from the "
+                             "in-kernel hardware PRNG, a different stream "
+                             "than the XLA path at the same keep law)")
     parser.add_argument("--use_int8", type=int, default=0,
                         help="int8 MXU GEMMs at inference (training always "
                              "differentiates the f32 path): the attention "

@@ -83,6 +83,20 @@ def _wn_kernel(p: Dict[str, jax.Array]) -> jax.Array:
     return (p["g"] * jax.lax.rsqrt(jnp.sum(v * v))) * v
 
 
+def quantized_keep(keep: float):
+    """The 8-bit keep-probability quantization: ``(thresh, scale)``.
+
+    keep is quantized to thresh/256 (thresh in [1, 255]) and survivors are
+    scaled by 256/thresh — the SAME quantized value, so the estimator is
+    exactly unbiased. This is the single source of the quantization rule:
+    ``apply_dropout(bits8=True)``, the emitted ``att_mask`` stream, and the
+    Pallas decode-attention kernels (ops/pallas/decode_att.py) must all
+    agree on it, or the kernel path's keep law silently drifts from the
+    XLA path's survivor scale."""
+    thresh = min(255, max(1, round(keep * 256)))
+    return thresh, 256.0 / thresh
+
+
 def apply_dropout(x, key, rate, bits8=True):
     """Inverted dropout with an optional 8-bit-random-word Bernoulli.
 
@@ -99,11 +113,10 @@ def apply_dropout(x, key, rate, bits8=True):
         return x
     keep = 1.0 - rate
     if bits8:
-        thresh = min(255, max(1, round(keep * 256)))
-        keep_q = thresh / 256.0
+        thresh, scale = quantized_keep(keep)
         bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
         return jax.lax.select(bits < jnp.uint8(thresh),
-                              x * jnp.asarray(1.0 / keep_q, x.dtype),
+                              x * jnp.asarray(scale, x.dtype),
                               jnp.zeros_like(x))
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jax.lax.select(mask, x / keep, jnp.zeros_like(x))
@@ -185,8 +198,7 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
     if p_att == 0.0:
         att_scale = 1.0
     elif bits8_dropout:
-        _att_thresh = min(255, max(1, round((1.0 - p_att) * 256)))
-        att_scale = 256.0 / _att_thresh
+        _att_thresh, att_scale = quantized_keep(1.0 - p_att)
     else:
         att_scale = 1.0 / (1.0 - p_att)
 
@@ -205,8 +217,7 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
     if pallas_att:
         from vqa_tpu.ops.pallas import decode_att as _da
         if p_att > 0.0:
-            pa_thresh = min(255, max(1, round((1.0 - p_att) * 256)))
-            pa_scale = 256.0 / pa_thresh
+            pa_thresh, pa_scale = quantized_keep(1.0 - p_att)
         else:
             pa_thresh, pa_scale = None, 1.0
 
@@ -225,6 +236,13 @@ def make_butd_caption_scan(*, hidden_dim: int, v_dim: int, dropout: float,
                 pool2, w = v.reshape(B, objs * v.shape[2]), None
             tile = _da.pick_tile(B, objs, vp.shape[2], pool2.shape[1] // objs,
                                  vp.dtype.itemsize, pool2.dtype.itemsize)
+            if tile <= 0:
+                raise ValueError(
+                    "pallas_att=True but decode_att.pick_tile found no "
+                    f"batch tile for B={B}, objs={objs}, H={vp.shape[2]}, "
+                    f"D={pool2.shape[1] // objs} — gate callers on "
+                    "decode_att.supported() AND pick_tile() > 0 (as "
+                    "models/generator.py caption_features does)")
             return vp2, pool2, w, tile
 
     def seg_a1(P, h1_in, h2_in, prev_t, v_gates, k_d1):

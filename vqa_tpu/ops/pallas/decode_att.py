@@ -86,6 +86,17 @@ def pick_tile(B: int, objs: int, H: int, D: int, vp_itemsize: int,
     return 0  # caller falls back to the XLA path
 
 
+def _check_tile(B: int, tile_b: int) -> None:
+    """Fail loudly on tile misuse: the grid is B // tile_b, so a
+    non-dividing tile would silently leave the tail rows uncomputed
+    (uninitialized output memory), and tile_b == 0 (pick_tile's fallback
+    value) is a caller gating bug, not a shape to lower."""
+    if tile_b <= 0 or B % tile_b != 0:
+        raise ValueError(
+            f"tile_b={tile_b} must be positive and divide B={B}; thread "
+            "pick_tile()'s result and gate on it being > 0")
+
+
 def _keep_quarters(words: jax.Array, thresh: int) -> jax.Array:
     """[R, C/4] uint32 words -> [R, C] bool keep-mask (P = thresh/256).
 
@@ -178,6 +189,11 @@ def decode_att_fwd(vp2, pool2, w, qp, k, seed, *, objs: int,
     H = qp.shape[1]
     D = pool2.shape[1] // objs
     factored = w is not None
+    _check_tile(B, tile_b)
+    if emit_mask and thresh is None:
+        raise ValueError(
+            "emit_mask=True with thresh=None: the kernel's dropout branch "
+            "never runs, so the mask output would be uninitialized memory")
     grid = (B // tile_b,)
 
     row = lambda blk: pl.BlockSpec(blk, lambda i: (i, 0))
@@ -294,6 +310,7 @@ def decode_att_bwd(vp2, pool2, w, att, g_attv, seed, *, objs: int,
     B, H = vp2.shape[0], vp2.shape[1] // objs
     D = pool2.shape[1] // objs
     factored = w is not None
+    _check_tile(B, tile_b)
     grid = (B // tile_b,)
     row = lambda blk: pl.BlockSpec(blk, lambda i: (i, 0))
 
@@ -395,6 +412,7 @@ def decode_att_dvp(dls, qps, k, seeds, *, objs: int, att_scale: float,
     """
     T, B, _ = dls.shape
     H = qps.shape[2]
+    _check_tile(B, tile_b)
     grid = (B // tile_b, T)     # t innermost: VMEM accumulation over steps
 
     in_specs, args = [], []
