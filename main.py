@@ -121,9 +121,13 @@ def make_loader(args, vocab, ans_list, dataset_type, is_train=False,
     # generator at full max_len regardless)
     bucket = bool(getattr(args, "length_bucket", 0)) and is_train \
         and args.decoder_type != "none"
+    bounds = tuple(
+        int(b) for b in
+        str(getattr(args, "bucket_bounds", "8,10,12,14,16")).split(",") if b)
+    bounds = tuple(b for b in bounds if b < args.c_len) + (args.c_len,)
     return Loader(ds, args.batch_size, shuffle=shuffle, seed=args.seed,
                   transform=transform, length_bucket=bucket,
-                  bucket_bounds=(8, 10, 12, 14, 16, args.c_len))
+                  bucket_bounds=bounds)
 
 
 def main():

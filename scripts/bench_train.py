@@ -26,7 +26,7 @@ WARMUP, ITERS, REPS = 1, 3, 8
 
 def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
         remat=True, clen=CLEN, fused_vjp=True, feed="dense", bits8=True,
-        pallas_att=False):
+        pallas_att=False, encoder="base"):
     # A/B knob for the decode scan's 8-bit dropout masks (default on in
     # the library — this reroutes the generator's late import)
     import functools
@@ -35,11 +35,12 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
         ds._orig_make_butd_caption_scan = ds.make_butd_caption_scan
     ds.make_butd_caption_scan = functools.partial(
         ds._orig_make_butd_caption_scan, bits8_dropout=bits8)
-    model = set_model(encoder_type="base", predictor_type="base",
+    model = set_model(encoder_type=encoder, predictor_type="base",
                       decoder_type="butd" if caption else "none",
                       ntoken=NTOKEN, v_dim=VDIM, embed_dim=300,
                       hidden_dim=1024, decoder_hidden_dim=1024, ans_dim=ANS,
-                      c_len=CLEN, att_type="new", use_mtl=caption)
+                      c_len=CLEN, att_type="new", use_mtl=caption,
+                      conv_type="corr", conv_layer=1)
     if caption and not remat:
         model = model.clone(generator=model.generator.clone(remat_scan=False))
     if caption and not fused_vjp:
@@ -57,6 +58,11 @@ def run(name, caption=False, compute_dtype=None, B=512, fused_cap=True,
         "q": jnp.asarray(rng.integers(0, NTOKEN, (B, QLEN)), dtype=jnp.int32),
         "a": jnp.asarray((rng.random((B, ANS)) < 0.01).astype(np.float32)),
     }
+    if encoder == "relation":
+        # spatial relation labels: 0 = no edge, 1..11 = edge classes
+        # (data/relation.py label space; the bias gathers per label)
+        batch["graph"] = jnp.asarray(
+            rng.integers(0, 12, (B, NOBJ, NOBJ)), dtype=jnp.int32)
     if feed == "int8":
         # the production quantized feed: the encoder emits the factored
         # payload and the decoder scan pools over int8 (decode_scan.py
@@ -183,6 +189,16 @@ def main():
         run("MTL B=8192 c=12, int8 feed",
             caption=True, compute_dtype=jnp.bfloat16, B=8192, clen=12,
             feed="int8")
+    if which == "regat":
+        # ReGAT (RelationEncoder, spatial corr-conv, conv_layer=1) VQA
+        # training — the one train path PERF.md had no row for; inference
+        # rows live in scripts/bench_regat.py
+        run("ReGAT corr-conv train, B=512, bf16 mixed",
+            encoder="relation", compute_dtype=jnp.bfloat16)
+        run("ReGAT corr-conv train, B=2048, bf16 mixed",
+            encoder="relation", compute_dtype=jnp.bfloat16, B=2048)
+        run("ReGAT corr-conv train, B=4096, bf16 mixed",
+            encoder="relation", compute_dtype=jnp.bfloat16, B=4096)
     if which == "pa":
         # fused decode-attention kernels (ops/pallas/decode_att.py):
         # in-kernel PRNG, no mask HBM traffic, no mask residual

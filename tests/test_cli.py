@@ -317,6 +317,9 @@ def test_train_with_length_bucketing(workdir):
         "--predictor_type", "base", "--decoder_type", "butd",
         "--use_mtl", "1", "--length_bucket", "1",
         "--c_len", str(root["c_len"]),
+        # custom bounds (incl. one >= c_len that must be dropped: c_len
+        # itself is always the last bucket)
+        "--bucket_bounds", f"4,6,{root['c_len'] + 5}",
     ]), cwd=path)
     ckpt = path / "checkpoint" / "cli_bucket"
     assert (ckpt / "epoch_0.ckpt").exists()

@@ -182,6 +182,12 @@ def parse_args(argv=None):
                              "longer see the padded-tail RNN noise "
                              "(PARITY.md 'Length bucketing'); single-host "
                              "only")
+    parser.add_argument("--bucket_bounds", type=str, default="8,10,12,14,16",
+                        help="comma-separated --length_bucket bounds; c_len "
+                             "is always appended as the last bucket. More "
+                             "bounds = shorter padded tails (each bound "
+                             "compiles its own step once); e.g. add 18 to "
+                             "shave the rare >=17-token bucket")
     parser.add_argument("--prng_impl", type=str, default="rbg",
                         help="dropout PRNG implementation (rbg | "
                              "threefry2x32). Default rbg: XLA's hardware "
