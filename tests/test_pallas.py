@@ -244,45 +244,71 @@ def test_gcn_module_pallas_path_matches_xla(rng):
 # scripts/validate_decode_att.py (no interpret lowering for pltpu.prng_*).
 
 
-def _decode_att_inputs(rng, B=8, objs=5, H=16, D=12):
-    vp = rng.standard_normal((B, objs, H)).astype(np.float32) * 0.3
-    pool = rng.standard_normal((B, objs, D)).astype(np.float32)
-    w = rng.standard_normal((B, objs)).astype(np.float32) * 0.3
-    qp = rng.standard_normal((B, H)).astype(np.float32) * 0.3
-    k = rng.standard_normal((1, H)).astype(np.float32) * 0.3
+def _decode_att_inputs(rng, B=8, objs=5, H=16, D=12, dtype=np.float32,
+                       int8_pool=False):
+    vp = rng.standard_normal((B, objs, H)).astype(dtype) * 0.3
+    if int8_pool:
+        pool = rng.integers(-127, 128, (B, objs, D)).astype(np.int8)
+    else:
+        pool = rng.standard_normal((B, objs, D)).astype(dtype)
+    w = rng.standard_normal((B, objs)).astype(dtype) * 0.3
+    qp = rng.standard_normal((B, H)).astype(dtype) * 0.3
+    k = rng.standard_normal((1, H)).astype(dtype) * 0.3
     mask = (rng.random((B, objs, H)) < 0.8).astype(np.uint8)
     return tuple(map(jnp.asarray, (vp, pool, w, qp, k, mask)))
 
 
-@pytest.mark.parametrize("factored", [True, False])
-def test_decode_att_fwd_bwd_match_reference(rng, factored):
+# the three input regimes the shipping paths feed the kernels: f32
+# (parity tests), bf16 dense (the unquantized feed), bf16 activations
+# over an int8 pooling payload (the int8 factored feed — always
+# factored, the weights carry the dequant scale)
+@pytest.mark.parametrize("factored,dtype,int8_pool", [
+    (True, np.float32, False), (False, np.float32, False),
+    (False, "bfloat16", False), (True, "bfloat16", True),
+])
+def test_decode_att_fwd_bwd_match_reference(rng, factored, dtype, int8_pool):
     from vqa_tpu.ops.pallas import decode_att as da
-    vp, pool, w, qp, k, mask = _decode_att_inputs(rng)
+    dt = jnp.bfloat16 if dtype == "bfloat16" else np.float32
+    vp, pool, w, qp, k, mask = _decode_att_inputs(
+        rng, dtype=np.float32, int8_pool=int8_pool)
+    if dtype == "bfloat16":
+        vp, w, qp, k = (x.astype(dt) for x in (vp, w, qp, k))
+        if not int8_pool:
+            pool = pool.astype(dt)
     B, objs, H = vp.shape
     D = pool.shape[-1]
     wx = w if factored else None
     scale = 256.0 / 205
     vp2, pool2 = vp.reshape(B, -1), pool.reshape(B, -1)
     m2 = mask.reshape(B, -1)
+    # both kernel and reference compute in f32 and cast outputs to
+    # qp.dtype, so they agree to the bf16 output rounding
+    tol = dict(rtol=1e-2, atol=1e-2) if dtype == "bfloat16" else {}
 
     att_r, av_r = da.fwd_reference(vp, pool, wx, qp, k, mask,
                                    att_scale=scale)
     att_k, av_k = da.decode_att_fwd(
         vp2, pool2, wx, qp, k, None, objs=objs, att_scale=scale,
         thresh=205, tile_b=4, interpret=True, explicit_mask=m2)
-    np.testing.assert_allclose(np.asarray(att_k), np.asarray(att_r),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(av_k), np.asarray(av_r),
-                               rtol=1e-4, atol=1e-5)
+    assert att_k.dtype == qp.dtype and av_k.dtype == qp.dtype
+    np.testing.assert_allclose(np.asarray(att_k, np.float32),
+                               np.asarray(att_r, np.float32),
+                               **(tol or dict(rtol=1e-5, atol=1e-6)))
+    np.testing.assert_allclose(np.asarray(av_k, np.float32),
+                               np.asarray(av_r, np.float32),
+                               **(tol or dict(rtol=1e-4, atol=1e-5)))
 
-    gav = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    gav = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32)).astype(
+        qp.dtype)
     got = da.decode_att_bwd(vp2, pool2, wx, att_r, gav, None, objs=objs,
                             thresh=205, tile_b=4, interpret=True,
                             explicit_mask=m2)
     want = da.bwd_reference(vp, pool, wx, att_r, gav, mask)
     for g, r in zip(got, want):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
-                                   rtol=1e-4, atol=1e-5)
+        assert g.dtype == r.dtype
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   **(tol or dict(rtol=1e-4, atol=1e-5)))
 
 
 def test_decode_att_dvp_matches_reference(rng):
