@@ -64,7 +64,15 @@ def main():
         params)
 
     bench(m_bf, params, batch_bf, "bf16 feed, bf16 GEMMs")
-    bench(m_q8, params, batch_q8, "int8 feed, int8 v-proj + lazy v")
+    # the use_int8 model routes the v-projection through the fused Pallas
+    # int8 GEMM (ops/pallas/int8_matmul.py) when use_pallas is on; forcing
+    # supports() off isolates the XLA int8_dot route for the same graph
+    from vqa_tpu.ops.pallas import int8_matmul
+    real_supports = int8_matmul.supports
+    int8_matmul.supports = lambda *a, **k: False
+    bench(m_q8, params, batch_q8, "int8 feed, int8 v-proj (XLA) + lazy v")
+    int8_matmul.supports = real_supports
+    bench(m_q8, params, batch_q8, "int8 feed, int8 v-proj (Pallas) + lazy v")
     # int8 feed + bf16 GEMMs: the dequant fuses into both feature reads
     # (projection operand + att*v pooling), halving their HBM traffic,
     # without the int8 GEMM's dequant epilogue. lazy_v=False isolates the

@@ -120,6 +120,17 @@ def main():
             compute_dtype=jnp.bfloat16)
         run("Up-Down VQA, B=4096, bf16 mixed", compute_dtype=jnp.bfloat16,
             B=4096)
+    if which == "vqa-int8":
+        # int8 feed on the single-task train step: the forward dequant
+        # fuses into the v-projection operand read and lazy-v pools over
+        # the int8 payload (encoder.py lazy_v is active in training);
+        # features are data, so no grad-of-v exists on this path at all
+        run("Up-Down VQA, B=4096, bf16 mixed (dense window)",
+            compute_dtype=jnp.bfloat16, B=4096)
+        run("Up-Down VQA, B=4096, bf16 mixed, int8 feed",
+            compute_dtype=jnp.bfloat16, B=4096, feed="int8")
+        run("Up-Down VQA, B=8192, bf16 mixed, int8 feed",
+            compute_dtype=jnp.bfloat16, B=8192, feed="int8")
     if which in ("all", "mtl"):
         run("MTL VQA+BUTD, B=512, bf16, stacked (r2 layout)",
             caption=True, compute_dtype=jnp.bfloat16, fused_cap=False)

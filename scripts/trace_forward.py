@@ -4,8 +4,11 @@ Writes an XPlane trace under /tmp/vqa_trace and prints the top ops by
 self-time so the next optimization targets the measured bottleneck, not the
 estimated one (PERF.md 'Where the forward time goes' is FLOP-derived).
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/trace_forward.py [fast]
-  fast = bf16 params + Pallas GRU (the shipping fast config)
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/trace_forward.py [MODE]
+  MODE: fast  = bf16 params + Pallas GRU (dense bf16 feed)
+        int8feed = fast + int8 feature feed, bf16 GEMMs + lazy v
+                   (the shipping fast config)
+        int8  = int8feed + the int8 v-projection GEMM (--use_int8)
 """
 
 import sys
@@ -15,33 +18,44 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _trace_util import top_ops
 from vqa_tpu.models.wrapper import set_model
 
-FAST = len(sys.argv) > 1 and sys.argv[1] == "fast"
+MODE = sys.argv[1] if len(sys.argv) > 1 else ""
+FAST = MODE in ("fast", "int8", "int8feed")
 B, NOBJ, VDIM, QLEN = 16384, 36, 2048, 10
 NTOKEN, ANS = 20000, 3129
 
 
 def main():
-    print("devices:", jax.devices(), "fast:", FAST, flush=True)
+    print("devices:", jax.devices(), "mode:", MODE or "f32", flush=True)
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="none", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024, ans_dim=ANS,
-                      att_type="new", use_pallas=FAST)
+                      att_type="new", use_pallas=FAST,
+                      use_int8=(MODE == "int8"))
     rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, NOBJ, VDIM), dtype=np.float32)
     batch = {
-        "img": jnp.asarray(rng.standard_normal((B, NOBJ, VDIM),
-                                               dtype=np.float32)),
         "q": jnp.asarray(rng.integers(0, NTOKEN, size=(B, QLEN)),
                          dtype=jnp.int32),
     }
+    if MODE in ("int8", "int8feed"):
+        from vqa_tpu.data.shards import quantize_features
+        q8, scales = quantize_features(x)
+        batch["img_q"] = jnp.asarray(q8)
+        batch["img_scale"] = jnp.asarray(scales).astype(jnp.bfloat16)
+    else:
+        batch["img"] = jnp.asarray(x)
     params = model.init(jax.random.PRNGKey(0),
                         {k: v[:64] for k, v in batch.items()})
     if FAST:
         params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
-        batch["img"] = batch["img"].astype(jnp.bfloat16)
+        if "img" in batch:
+            batch["img"] = batch["img"].astype(jnp.bfloat16)
 
     @jax.jit
     def infer(params, batch):
@@ -62,6 +76,7 @@ def main():
         np.asarray(infer(params, batch))
     jax.profiler.stop_trace()
     print("trace written to /tmp/vqa_trace", flush=True)
+    top_ops("/tmp/vqa_trace")
 
 
 if __name__ == "__main__":

@@ -134,6 +134,11 @@ class BaseEncoder(nn.Module):
         q = self.q_rnn(q, deterministic=deterministic)  # [B, hidden] (last padded step)
         v_cache = None
         if self.use_int8 and "img_q" in batch and deterministic:
+            # NOTE: the fused Pallas int8 GEMM (ops/pallas/int8_matmul.py)
+            # is deliberately NOT routed here: measured in-situ it loses to
+            # the XLA int8 dot (37.8 vs 35.0 ms/call at B=16384 — PERF.md
+            # "int8 MXU compute", round-3 shootout) despite tying it in
+            # isolation; the kernel stays an opt-in library path.
             v_cache = self.attention.project_v_int8(
                 batch["img_q"], batch["img_scale"],
                 q_dim=q.shape[-1]).astype(v.dtype)

@@ -52,11 +52,12 @@ class ConcatAttention(nn.Module):
                         add_bias=False)
 
     def project_v_int8(self, img_q: jax.Array, img_scale: jax.Array,
-                       q_dim: int) -> jax.Array:
+                       q_dim: int, use_pallas: bool = False) -> jax.Array:
         """``project_v`` consuming the quantized feed directly: the v-side
         rows of the concat kernel run as one int8 MXU GEMM (ops/quant.py)."""
         return self.fc0(img_q, in_dim=img_q.shape[-1] + q_dim, row_start=0,
-                        add_bias=False, x_scale=img_scale)
+                        add_bias=False, x_scale=img_scale,
+                        int8_pallas=use_pallas)
 
     def __call__(self, v: jax.Array, q: jax.Array, *,
                  deterministic: bool = True,
@@ -100,12 +101,14 @@ class MultiplyAttention(nn.Module):
         return self.W_v(v)                                   # [batch, k, hidden]
 
     def project_v_int8(self, img_q: jax.Array, img_scale: jax.Array,
-                       q_dim: int = 0) -> jax.Array:
+                       q_dim: int = 0, use_pallas: bool = False) -> jax.Array:
         """``project_v`` consuming the quantized feed directly — the
         dominant forward GEMM (~2.5 of ~3.9 TFLOP/batch) runs int8 on the
-        MXU at ~1.8x the bf16 rate (ops/quant.py, PERF.md "int8 MXU")."""
+        MXU at ~1.8x the bf16 rate (ops/quant.py, PERF.md "int8 MXU").
+        ``use_pallas`` fuses the dequant epilogue in VMEM
+        (ops/pallas/int8_matmul.py)."""
         del q_dim
-        return self.W_v(img_q, x_scale=img_scale)
+        return self.W_v(img_q, x_scale=img_scale, int8_pallas=use_pallas)
 
     def __call__(self, v: jax.Array, q: jax.Array, *,
                  deterministic: bool = True,

@@ -126,7 +126,10 @@ class DirectedGraphConv(nn.Module):
         def project(x, w):
             if fq is not None:
                 from vqa_tpu.ops.quant import int8_dot
-                return int8_dot(fq[0], fq[1], w).astype(x.dtype)
+                # XLA int8 route on purpose: the fused Pallas int8 GEMM
+                # loses in-situ at the flagship shape (PERF.md round-3
+                # shootout), so it is not routed into models by default
+                return int8_dot(fq[0], fq[1], w, out_dtype=x.dtype)
             return jnp.matmul(x, w.astype(x.dtype),
                               preferred_element_type=x.dtype)
 

@@ -66,7 +66,8 @@ class WNDense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, in_dim: Optional[int] = None,
                  row_start: int = 0, add_bias: bool = True,
-                 x_scale: Optional[jax.Array] = None) -> jax.Array:
+                 x_scale: Optional[jax.Array] = None,
+                 int8_pallas: bool = False) -> jax.Array:
         full_dim = in_dim if in_dim is not None else x.shape[-1]
         v = self.param("v", torch_linear_uniform(full_dim),
                        (full_dim, self.features))
@@ -85,8 +86,11 @@ class WNDense(nn.Module):
             # dtype of its own), unless self.dtype overrides.
             assert x_scale is not None, "int8 input requires x_scale"
             from vqa_tpu.ops.quant import int8_dot
-            y = int8_dot(x, x_scale, scale * rows)
-            y = y.astype(self.dtype or x_scale.dtype)
+            # the final dtype goes INTO the GEMM epilogue so the fused
+            # Pallas path's only HBM write is the finished output
+            y = int8_dot(x, x_scale, scale * rows,
+                         out_dtype=self.dtype or x_scale.dtype,
+                         use_pallas=int8_pallas)
         else:
             kernel = (scale * rows).astype(self.dtype or x.dtype)
             y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
@@ -132,13 +136,16 @@ class FCNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True,
-                 x_scale: Optional[jax.Array] = None) -> jax.Array:
+                 x_scale: Optional[jax.Array] = None,
+                 int8_pallas: bool = False) -> jax.Array:
         # x_scale: per-row dequant scales when x is an int8 activation
         # (consumed by the first layer's WNDense int8 path).
         if self.layer == 1 or self.mid_dim == 0:
-            x = WNDense(self.out_dim, name="fc0")(x, x_scale=x_scale)
+            x = WNDense(self.out_dim, name="fc0")(x, x_scale=x_scale,
+                                                  int8_pallas=int8_pallas)
             return nn.relu(x)
-        x = nn.relu(WNDense(self.mid_dim, name="fc0")(x, x_scale=x_scale))
+        x = nn.relu(WNDense(self.mid_dim, name="fc0")(x, x_scale=x_scale,
+                                                      int8_pallas=int8_pallas))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.layer - 2):
             x = nn.relu(WNDense(self.mid_dim, name=f"fc{i + 1}")(x))
@@ -182,7 +189,8 @@ class DotProduct(nn.Module):
         return jnp.einsum("bik,bjk->bij", pa, pb, preferred_element_type=a.dtype)
 
     @nn.compact
-    def similarity_parts(self, a: jax.Array, aq=None):
+    def similarity_parts(self, a: jax.Array, aq=None,
+                         use_pallas: bool = False):
         """Self-similarity decomposition: ``alpha = DotProduct(a, a)`` as
 
             alpha_ij = (a C) a^T |_ij + u_i + w_j
@@ -207,7 +215,8 @@ class DotProduct(nn.Module):
         c = jnp.matmul(wa, wb.T, preferred_element_type=jnp.float32)
         if aq is not None:
             from vqa_tpu.ops.quant import int8_dot
-            ac = int8_dot(aq[0], aq[1], c).astype(a.dtype)
+            ac = int8_dot(aq[0], aq[1], c, out_dtype=a.dtype,
+                          use_pallas=use_pallas)
         else:
             ac = jnp.matmul(a, c.astype(a.dtype), preferred_element_type=a.dtype)
         u = jnp.matmul(a, (wa @ bb).astype(a.dtype)) + jnp.dot(ba, bb).astype(a.dtype)

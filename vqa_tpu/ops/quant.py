@@ -64,23 +64,43 @@ def quantize_weight_per_col(kernel: jax.Array):
     return w_q, w_scale
 
 
-def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array
-             ) -> jax.Array:
+def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
+             *, out_dtype=None, use_pallas: bool = False) -> jax.Array:
     """``dequant(x_q) @ kernel`` computed as one int8 MXU GEMM.
 
     x_q:     [..., in] int8 (pre-quantized activation, e.g. ``img_q``)
     x_scale: [...] float — per-row dequant scales (e.g. ``img_scale``)
     kernel:  [in, out] float — quantized per output channel on the fly
-    Returns [..., out] float32 (callers cast into the surrounding model
-    dtype; XLA fuses the cast into the dequant epilogue).
+    Returns [..., out] in ``out_dtype`` (default float32).
+
+    ``use_pallas`` routes qualifying shapes through the fused Pallas kernel
+    (ops/pallas/int8_matmul.py): the int32 accumulator and the f32 dequant
+    product stay in VMEM instead of round-tripping HBM between the GEMM and
+    its epilogue — pass the FINAL consumer dtype as ``out_dtype`` so the
+    only HBM write is the finished output. Bit-identical to the XLA path
+    (same int32-exact dot, same f32 scale product, same single cast).
     """
     assert x_q.dtype == jnp.int8, f"x_q must be int8, got {x_q.dtype}"
     w_q, w_scale = quantize_weight_per_col(kernel)
     lead = x_q.shape[:-1]
+    rows = x_q.reshape(-1, x_q.shape[-1])
+    m, k = rows.shape
+    n = kernel.shape[-1]
+    if use_pallas:
+        from vqa_tpu.ops.pallas import int8_matmul
+        for tile_m in (512, 256):   # shrink the tile until VMEM fits
+            if int8_matmul.supports(m, k, n, tile_m):
+                y = int8_matmul.int8_matmul_dequant(
+                    rows, x_scale.reshape(-1), w_q, w_scale,
+                    out_dtype=out_dtype or jnp.float32, tile_m=tile_m,
+                    interpret=jax.default_backend() != "tpu")
+                return y.reshape(*lead, n)
     acc = jax.lax.dot_general(
-        x_q.reshape(-1, x_q.shape[-1]), w_q,
+        rows, w_q,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                  # [rows, out]
     y = acc.astype(jnp.float32) \
         * (x_scale.astype(jnp.float32).reshape(-1, 1) * w_scale[None, :])
-    return y.reshape(*lead, kernel.shape[-1])
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    return y.reshape(*lead, n)
