@@ -19,6 +19,7 @@ are baked into the lowered graph as constants and stall the relay compile.
 
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
@@ -41,16 +42,19 @@ def timed(jitted, *args, warmup: int = WARMUP, iters: int = ITERS) -> float:
 
 
 def chained_ms(step, carry, args, reps: int = 8, mode: str = "amortize",
-               reduce=jnp.max) -> float:
+               reduce=jnp.max, jit_kwargs=None) -> float:
     """ms per ``step`` call; step: (carry, *args) -> carry (same shape/dtype).
 
     The fetched value is ``reduce`` of the final carry — data-dependent on
     every chained step, so completion is provable. Use max (not sum) as the
     reduce when the carry is a dot product: XLA rewrites sum(dot(A, B))
     algebraically; max does not distribute over dot.
+
+    ``jit_kwargs`` forwards to ``jax.jit`` (e.g. ``in_shardings`` Formats to
+    pin input layouts — scripts/bench_int8_layout.py).
     """
     def build(n):
-        @jax.jit
+        @functools.partial(jax.jit, **(jit_kwargs or {}))
         def fn(c, *a):
             c = jax.lax.fori_loop(0, n, lambda i, c: step(c, *a), c)
             return reduce(c.astype(jnp.float32))

@@ -84,5 +84,45 @@ def main():
           pallas_step, x_q, (x_scale, w_q, w_scale))
 
 
+def main_3d():
+    """3-D-native kernel variants at the flagship shape (see PERF.md
+    "Round-3 int8-GEMM shootout" — run after main() in the same window)."""
+    from vqa_tpu.ops.pallas.int8_matmul import int8_matmul_dequant_3d
+    rng = np.random.default_rng(0)
+    x_q = jax.device_put(rng.integers(-127, 128, (B, NOBJ, K), dtype=np.int8))
+    x_scale = jax.device_put(
+        (rng.random((B, NOBJ), dtype=np.float32) * 0.02 + 1e-3)
+        .astype(jnp.bfloat16))
+    kernel = jax.device_put(
+        (rng.standard_normal((K, N), dtype=np.float32) * 0.03))
+    w_q, w_scale = jax.jit(quantize_weight_per_col)(kernel)
+
+    def chain3(c, y):
+        row = jnp.tile(y[0, 0].astype(jnp.int8), K // N)[None, None]
+        return jax.lax.dynamic_update_slice(c, row, (0, 0, 0))
+
+    for flatten in (True, False):
+        for tb in (8, 16):
+            def step(c, xs, wq, ws, tb=tb, flatten=flatten):
+                y = int8_matmul_dequant_3d(c, xs, wq, ws,
+                                           out_dtype=jnp.bfloat16,
+                                           tile_b=tb, flatten=flatten)
+                return chain3(c, y)
+            name = f"Pallas 3d flatten={flatten} TB={tb}"
+            try:
+                ms = chained_ms(step, x_q, (x_scale, w_q, w_scale),
+                                reps=REPS, mode="cancel")
+                print(f"{name:52s} {ms:8.2f} ms  "
+                      f"({FLOPS / (ms / 1e3) / 1e12:6.1f} TF/s)", flush=True)
+            except Exception as e:
+                print(f"{name:52s} FAILED: {str(e)[:120]}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import os
+    if os.environ.get("VQA_3D_ONLY"):
+        print(f"devices: {jax.devices()}", flush=True)
+        main_3d()
+    else:
+        main()
+        main_3d()

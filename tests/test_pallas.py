@@ -364,3 +364,155 @@ def test_decode_att_backward_formulas_match_autodiff(rng, factored):
         np.testing.assert_allclose(np.asarray(att * m),
                                    np.asarray(d_w_auto),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_int8_matmul_dequant_matches_xla(rng):
+    """Fused int8 GEMM+dequant kernel == the XLA int8_dot path bit-for-bit
+    (same int32-exact dot, same f32 scale product, same single cast)."""
+    from vqa_tpu.ops.pallas.int8_matmul import int8_matmul_dequant
+    from vqa_tpu.ops.quant import int8_dot, quantize_weight_per_col
+
+    M, K, N = 700, 256, 128   # M not a tile multiple: exercises row padding
+    x_q = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    x_scale = (rng.random(M).astype(np.float32) * 0.1 + 1e-3)
+    kernel = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    w_q, w_scale = quantize_weight_per_col(jnp.asarray(kernel))
+
+    for out_dtype in (jnp.float32, jnp.bfloat16):
+        want = int8_dot(jnp.asarray(x_q), jnp.asarray(x_scale),
+                        jnp.asarray(kernel), out_dtype=out_dtype)
+        got = int8_matmul_dequant(
+            jnp.asarray(x_q), jnp.asarray(x_scale), w_q, w_scale,
+            out_dtype=out_dtype, tile_m=256, interpret=True)
+        assert got.dtype == out_dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_dot_pallas_route_matches_xla(rng):
+    """int8_dot(use_pallas=True) routes qualifying shapes through the fused
+    kernel (interpret mode off-TPU) and stays bit-identical; non-qualifying
+    shapes fall back to the XLA path."""
+    from vqa_tpu.ops.quant import int8_dot
+
+    x_q = rng.integers(-127, 128, (4, 260, 256)).astype(np.int8)  # 1040 rows
+    x_scale = (rng.random((4, 260)).astype(np.float32) * 0.1 + 1e-3)
+    kernel = (rng.standard_normal((256, 128)) * 0.05).astype(np.float32)
+    want = int8_dot(jnp.asarray(x_q), jnp.asarray(x_scale),
+                    jnp.asarray(kernel), out_dtype=jnp.bfloat16)
+    got = int8_dot(jnp.asarray(x_q), jnp.asarray(x_scale),
+                   jnp.asarray(kernel), out_dtype=jnp.bfloat16,
+                   use_pallas=True)
+    assert got.shape == (4, 260, 128)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # small batch: supports() rejects, falls back to XLA (no error)
+    small = int8_dot(jnp.asarray(x_q[0, :8]), jnp.asarray(x_scale[0, :8]),
+                     jnp.asarray(kernel), use_pallas=True)
+    assert small.shape == (8, 128)
+
+
+def test_feed_gemm_dequant_matmul_matches_xla(rng):
+    """Fused dequant->bf16-GEMM kernel == the XLA dequant-then-matmul path
+    (same op order: cast to w.dtype, scale, one MXU dot)."""
+    from vqa_tpu.ops.pallas.feed_gemm import dequant_matmul, supports
+
+    M, K, N = 300, 256, 128   # M off the tile grid: exercises row padding
+    x_q = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    x_scale = (rng.random(M).astype(np.float32) * 0.05 + 1e-3)
+    for w_dtype in (jnp.float32, jnp.bfloat16):
+        w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, dtype=w_dtype)
+        xs = jnp.asarray(x_scale, dtype=w_dtype)
+        want = jnp.matmul(jnp.asarray(x_q).astype(w_dtype) * xs[:, None], w,
+                          preferred_element_type=w_dtype)
+        got = dequant_matmul(jnp.asarray(x_q), xs, w, tile_m=128,
+                             interpret=True)
+        assert got.dtype == w_dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2 if w_dtype == jnp.bfloat16 else 1e-6, atol=1e-5)
+    assert supports(16384 * 36, 2048, 1024, tile_m=256)
+
+
+def test_lazyv_pool_matches_xla_einsum(rng):
+    """Fused lazy-v pooling kernel == the XLA einsum('bn,bnd->bd') on the
+    int8 payload (same op order: cast to the weight dtype, multiply, sum)."""
+    from vqa_tpu.ops.pallas.lazyv_pool import pool_int8, supports
+
+    B, NOBJ, D = 70, 36, 256   # B off the tile grid: exercises padding
+    x_q = rng.integers(-127, 128, (B, NOBJ, D)).astype(np.int8)
+    for w_dtype in (jnp.float32, jnp.bfloat16):
+        w = jnp.asarray(rng.random((B, NOBJ)) * 0.05, dtype=w_dtype)
+        want = jnp.einsum("bn,bnd->bd", w, jnp.asarray(x_q).astype(w_dtype),
+                          preferred_element_type=w_dtype)
+        got = pool_int8(w, jnp.asarray(x_q), tile_b=32, interpret=True)
+        assert got.dtype == w_dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2 if w_dtype == jnp.bfloat16 else 1e-6, atol=1e-5)
+    assert supports(16384, 36, 2048)
+
+
+@pytest.mark.parametrize("flatten", [True, False])
+def test_int8_matmul_3d_matches_xla(rng, flatten):
+    """3-D-native fused int8 GEMM+dequant == the XLA int8_dot path
+    bit-for-bit, both in-kernel contraction variants."""
+    from vqa_tpu.ops.pallas.int8_matmul import (
+        int8_matmul_dequant_3d, supports_3d)
+    from vqa_tpu.ops.quant import int8_dot, quantize_weight_per_col
+
+    B, G, K, N = 37, 12, 256, 128   # B off the tile grid: exercises padding
+    x_q = rng.integers(-127, 128, (B, G, K)).astype(np.int8)
+    x_scale = (rng.random((B, G)).astype(np.float32) * 0.1 + 1e-3)
+    kernel = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    w_q, w_scale = quantize_weight_per_col(jnp.asarray(kernel))
+
+    want = int8_dot(jnp.asarray(x_q), jnp.asarray(x_scale),
+                    jnp.asarray(kernel), out_dtype=jnp.bfloat16)
+    got = int8_matmul_dequant_3d(
+        jnp.asarray(x_q), jnp.asarray(x_scale), w_q, w_scale,
+        out_dtype=jnp.bfloat16, tile_b=8, flatten=flatten, interpret=True)
+    assert got.shape == (B, G, N)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert supports_3d(16384, 36, 2048, 1024, tile_b=8)
+
+
+def test_int8_dot_bias_relu_epilogue_routes_agree(rng):
+    """bias+ReLU epilogue: Pallas 3-D route == XLA route bit-for-bit, and
+    WNDense/FCNet fused forms == the reference-shaped unfused ops."""
+    from vqa_tpu.ops.quant import int8_dot
+
+    B, G, K, N = 40, 12, 256, 128
+    x_q = jnp.asarray(rng.integers(-127, 128, (B, G, K)).astype(np.int8))
+    x_scale = jnp.asarray(
+        (rng.random((B, G)).astype(np.float32) * 0.1 + 1e-3))
+    kernel = jnp.asarray((rng.standard_normal((K, N)) * 0.05)
+                         .astype(np.float32))
+    bias = jnp.asarray((rng.standard_normal(N) * 0.1).astype(np.float32))
+
+    plain = int8_dot(x_q, x_scale, kernel, out_dtype=jnp.bfloat16)
+    want = jnp.maximum(plain + bias.astype(plain.dtype), 0.0)
+    got_xla = int8_dot(x_q, x_scale, kernel, out_dtype=jnp.bfloat16,
+                       bias=bias, relu=True)
+    got_pl = int8_dot(x_q, x_scale, kernel, out_dtype=jnp.bfloat16,
+                      bias=bias, relu=True, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got_xla), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_pl), np.asarray(want))
+
+
+def test_fcnet_int8_pallas_matches_xla_route(rng):
+    """FCNet on an int8 activation: the fused Pallas route (GEMM + dequant
+    + bias + ReLU in one kernel) == the XLA int8 route to 1 ulp (the two
+    compilations may associate the acc*(x_scale*w_scale) multiply chain
+    differently in f32; bf16 outputs compare exact — previous test)."""
+    from vqa_tpu.ops.linear import FCNet
+
+    B, G, K, H = 48, 12, 256, 128
+    x_q = jnp.asarray(rng.integers(-127, 128, (B, G, K)).astype(np.int8))
+    x_scale = jnp.asarray(
+        (rng.random((B, G)).astype(np.float32) * 0.1 + 1e-3))
+    net = FCNet(H)
+    params = net.init(jax.random.PRNGKey(3),
+                      jnp.zeros((2, 2, K), jnp.float32))
+    a = net.apply(params, x_q, x_scale=x_scale)
+    b = net.apply(params, x_q, x_scale=x_scale, int8_pallas=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)

@@ -134,14 +134,15 @@ class BaseEncoder(nn.Module):
         q = self.q_rnn(q, deterministic=deterministic)  # [B, hidden] (last padded step)
         v_cache = None
         if self.use_int8 and "img_q" in batch and deterministic:
-            # NOTE: the fused Pallas int8 GEMM (ops/pallas/int8_matmul.py)
-            # is deliberately NOT routed here: measured in-situ it loses to
-            # the XLA int8 dot (37.8 vs 35.0 ms/call at B=16384 — PERF.md
-            # "int8 MXU compute", round-3 shootout) despite tying it in
-            # isolation; the kernel stays an opt-in library path.
+            # use_pallas routes the 3-D-native fused kernel
+            # (ops/pallas/int8_matmul.py int8_matmul_dequant_3d: int8 MXU
+            # dot + dequant + bias + ReLU all in VMEM, no flatten in the
+            # graph). The 2-D kernel and the XLA int8 dot both lose
+            # in-situ to epilogue un-fusion / relayout copies — PERF.md
+            # "Round-3 int8-GEMM shootout" has the full measured chain.
             v_cache = self.attention.project_v_int8(
-                batch["img_q"], batch["img_scale"],
-                q_dim=q.shape[-1]).astype(v.dtype)
+                batch["img_q"], batch["img_scale"], q_dim=q.shape[-1],
+                use_pallas=self.use_pallas).astype(v.dtype)
         v_att = self.attention(v, q, deterministic=deterministic,
                                v_cache=v_cache)        # [B, objs, 1]
         v = v_att * v
@@ -165,8 +166,22 @@ class BaseEncoder(nn.Module):
                 # training too — the einsum differentiates to the same
                 # values as sum(v_att * v, 1) up to fp reorder. Replaces
                 # the feed economics of /root/reference/dataset.py:93-104.
-                out["v_sum"] = jnp.einsum("bn,bnd->bd", w,
-                                          batch["img_q"].astype(w.dtype))
+                pooled = None
+                if self.use_int8 and self.use_pallas and deterministic:
+                    # in the int8-GEMM graph the pooling einsum's product
+                    # materializes (the kernel's row-major output shifts
+                    # XLA's layout choices); the fused pooling kernel
+                    # reads the int8 payload directly and keeps both
+                    # img_q consumers on the same layout
+                    from vqa_tpu.ops.pallas import lazyv_pool
+                    if lazyv_pool.supports(*batch["img_q"].shape):
+                        pooled = lazyv_pool.pool_int8(
+                            w, batch["img_q"],
+                            interpret=jax.default_backend() != "tpu")
+                if pooled is None:
+                    pooled = jnp.einsum("bn,bnd->bd", w,
+                                        batch["img_q"].astype(w.dtype))
+                out["v_sum"] = pooled
         if "c" in batch:
             out["c"] = self.embedding(batch["c"])
             out["c_target"] = batch["c"]

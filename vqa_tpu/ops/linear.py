@@ -67,7 +67,8 @@ class WNDense(nn.Module):
     def __call__(self, x: jax.Array, *, in_dim: Optional[int] = None,
                  row_start: int = 0, add_bias: bool = True,
                  x_scale: Optional[jax.Array] = None,
-                 int8_pallas: bool = False) -> jax.Array:
+                 int8_pallas: bool = False,
+                 fuse_relu: bool = False) -> jax.Array:
         full_dim = in_dim if in_dim is not None else x.shape[-1]
         v = self.param("v", torch_linear_uniform(full_dim),
                        (full_dim, self.features))
@@ -76,6 +77,8 @@ class WNDense(nn.Module):
         scale = g * jax.lax.rsqrt(jnp.sum(v * v))
         rows = v if x.shape[-1] == full_dim else \
             v[row_start:row_start + x.shape[-1]]
+        b = self.param("b", torch_linear_uniform(full_dim),
+                       (self.features,)) if self.use_bias else None
         if x.dtype == jnp.int8:
             # int8 MXU fast path: x is a pre-quantized activation with
             # per-row scales (the int8 feature feed); the effective
@@ -86,19 +89,21 @@ class WNDense(nn.Module):
             # dtype of its own), unless self.dtype overrides.
             assert x_scale is not None, "int8 input requires x_scale"
             from vqa_tpu.ops.quant import int8_dot
-            # the final dtype goes INTO the GEMM epilogue so the fused
-            # Pallas path's only HBM write is the finished output
-            y = int8_dot(x, x_scale, scale * rows,
-                         out_dtype=self.dtype or x_scale.dtype,
-                         use_pallas=int8_pallas)
-        else:
-            kernel = (scale * rows).astype(self.dtype or x.dtype)
-            y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
-        if self.use_bias:
-            b = self.param("b", torch_linear_uniform(full_dim),
-                           (self.features,))
-            if add_bias:
-                y = y + b.astype(y.dtype)
+            # the final dtype, bias, and (optional) ReLU all go INTO the
+            # GEMM epilogue: on the Pallas route the only HBM write is
+            # then the finished activation; the XLA route applies the
+            # identical trailing ops (ops/quant.py int8_dot)
+            return int8_dot(x, x_scale, scale * rows,
+                            out_dtype=self.dtype or x_scale.dtype,
+                            use_pallas=int8_pallas,
+                            bias=b if add_bias else None,
+                            relu=fuse_relu)
+        kernel = (scale * rows).astype(self.dtype or x.dtype)
+        y = jnp.matmul(x, kernel, preferred_element_type=x.dtype)
+        if b is not None and add_bias:
+            y = y + b.astype(y.dtype)
+        if fuse_relu:
+            y = nn.relu(y)
         return y
 
     @nn.compact
@@ -140,12 +145,20 @@ class FCNet(nn.Module):
                  int8_pallas: bool = False) -> jax.Array:
         # x_scale: per-row dequant scales when x is an int8 activation
         # (consumed by the first layer's WNDense int8 path).
+        # int8 inputs: the ReLU fuses into the GEMM epilogue (WNDense
+        # fuse_relu -> ops/quant.py int8_dot) instead of costing a
+        # separate full-tensor elementwise pass after a pallas_call
+        fuse = x.dtype == jnp.int8
         if self.layer == 1 or self.mid_dim == 0:
             x = WNDense(self.out_dim, name="fc0")(x, x_scale=x_scale,
-                                                  int8_pallas=int8_pallas)
-            return nn.relu(x)
-        x = nn.relu(WNDense(self.mid_dim, name="fc0")(x, x_scale=x_scale,
-                                                      int8_pallas=int8_pallas))
+                                                  int8_pallas=int8_pallas,
+                                                  fuse_relu=fuse)
+            return x if fuse else nn.relu(x)
+        x = WNDense(self.mid_dim, name="fc0")(x, x_scale=x_scale,
+                                              int8_pallas=int8_pallas,
+                                              fuse_relu=fuse)
+        if not fuse:
+            x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.layer - 2):
             x = nn.relu(WNDense(self.mid_dim, name=f"fc{i + 1}")(x))

@@ -105,3 +105,110 @@ def supports(m: int, k: int, n: int, tile_m: int = 512) -> bool:
     vmem = k * n + tile_m * k + tile_m * n * 10 + 4 * n
     return (k % 128 == 0 and n % 128 == 0 and m >= tile_m
             and vmem <= 12 * 1024 * 1024)
+
+
+def _kernel3(x_ref, xs_ref, w_ref, ws_ref, out_ref, *, flatten: bool,
+             relu: bool, b_ref=None):
+    if flatten:
+        # flatten to rows IN VMEM (register relayout, not an HBM reshape)
+        # so the MXU sees a tall [TB*G, K] M-dim instead of G=36-row
+        # batched matmuls that starve its 128-lane M dimension
+        tb, g, k = x_ref.shape
+        n = w_ref.shape[1]
+        acc = jax.lax.dot_general(
+            x_ref[:].reshape(tb * g, k), w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(tb, g, n)
+    else:
+        acc = jax.lax.dot_general(
+            x_ref[:], w_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)            # [TB, G, N] int32
+    scale = xs_ref[:].astype(jnp.float32)[:, :, None] \
+        * ws_ref[:].astype(jnp.float32)[None, :, :]
+    y = (acc.astype(jnp.float32) * scale).astype(out_ref.dtype)
+    # bias/ReLU epilogue IN VMEM: XLA fuses these into its own GEMMs but
+    # cannot fuse into a pallas_call, so leaving them outside costs a
+    # full [B, G, N] elementwise HBM pass. Same op order as the XLA
+    # fallback in ops/quant.py (cast, + bias in out dtype, then max).
+    if b_ref is not None:
+        y = y + b_ref[:].astype(out_ref.dtype)
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), out_ref.dtype))
+    out_ref[:] = y
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "tile_b", "flatten",
+                                    "relu", "interpret"))
+def int8_matmul_dequant_3d(x_q: jax.Array, x_scale: jax.Array,
+                           w_q: jax.Array, w_scale: jax.Array, *,
+                           bias: jax.Array | None = None,
+                           relu: bool = False,
+                           out_dtype=jnp.bfloat16, tile_b: int = 16,
+                           flatten: bool = True,
+                           interpret: bool = False) -> jax.Array:
+    """3-D-native variant: ``[B, G, K] int8 @ [K, N] -> [B, G, N]`` fused.
+
+    Exists because the 2-D kernel's in-situ loss was traced to the graph
+    around it, not the kernel: flattening ``img_q`` to rows forces XLA to
+    reconcile the reshape against the {2,0,1} layout its 3-D einsum
+    consumers prefer — ~14 ms/step of reshape/copy data movement at
+    B=16384 (scripts/trace_int8_pallas.py). Consuming the natural [B, G, K]
+    blocks leaves no reshape in the graph. Same math, same single cast.
+    """
+    b, g, k = x_q.shape
+    n = w_q.shape[1]
+    pad = (-b) % tile_b
+    if pad:
+        x_q = jnp.pad(x_q, ((0, pad), (0, 0), (0, 0)))
+        x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
+    grid = ((b + pad) // tile_b,)
+    in_specs = [
+        pl.BlockSpec((tile_b, g, k), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, g), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_q, x_scale, w_q, w_scale.reshape(1, -1)]
+    kernel = functools.partial(_kernel3, flatten=flatten, relu=relu)
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias.reshape(1, -1))
+
+        def kernel(x, xs, w, ws, b, o):            # noqa: F811
+            _kernel3(x, xs, w, ws, o, flatten=flatten, relu=relu, b_ref=b)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_b, g, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b + pad, g, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (b + pad) * g * k * n,
+            bytes_accessed=(b + pad) * g * k + k * n
+            + (b + pad) * g * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+    return out[:b] if pad else out
+
+
+def supports_3d(b: int, g: int, k: int, n: int, tile_b: int = 16) -> bool:
+    """Shape gate for the 3-D kernel. Sublane padding: int8 tiles are
+    (32, 128) on the last two dims, so g pads to a multiple of 32 in VMEM.
+    The epilogue temporaries are transient vector registers, not resident
+    VMEM blocks — budget the pipelined operand/output blocks (TB=16 at the
+    flagship shape measured fine and fastest, scripts/bench_int8_kernel.py
+    main_3d)."""
+    g_pad = -(-g // 32) * 32
+    vmem = (k * n                                  # resident int8 weight
+            + 2 * tile_b * g_pad * k               # int8 tiles (pipelined)
+            + 2 * tile_b * g_pad * n * 2           # out blocks (pipelined)
+            + 4 * n)
+    return (k % 128 == 0 and n % 128 == 0 and b >= tile_b
+            and vmem <= 12 * 1024 * 1024)

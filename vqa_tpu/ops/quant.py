@@ -65,7 +65,9 @@ def quantize_weight_per_col(kernel: jax.Array):
 
 
 def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
-             *, out_dtype=None, use_pallas: bool = False) -> jax.Array:
+             *, out_dtype=None, use_pallas: bool = False,
+             bias: jax.Array | None = None,
+             relu: bool = False) -> jax.Array:
     """``dequant(x_q) @ kernel`` computed as one int8 MXU GEMM.
 
     x_q:     [..., in] int8 (pre-quantized activation, e.g. ``img_q``)
@@ -79,6 +81,11 @@ def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
     its epilogue — pass the FINAL consumer dtype as ``out_dtype`` so the
     only HBM write is the finished output. Bit-identical to the XLA path
     (same int32-exact dot, same f32 scale product, same single cast).
+
+    ``bias``/``relu`` extend the epilogue (y + bias in the out dtype, then
+    max(0)): XLA fuses these into its own GEMM but cannot fuse into a
+    pallas_call, so the Pallas route applies them in VMEM; the XLA route
+    applies the identical ops so both routes agree bit-for-bit.
     """
     assert x_q.dtype == jnp.int8, f"x_q must be int8, got {x_q.dtype}"
     w_q, w_scale = quantize_weight_per_col(kernel)
@@ -88,13 +95,25 @@ def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
     n = kernel.shape[-1]
     if use_pallas:
         from vqa_tpu.ops.pallas import int8_matmul
-        for tile_m in (512, 256):   # shrink the tile until VMEM fits
-            if int8_matmul.supports(m, k, n, tile_m):
-                y = int8_matmul.int8_matmul_dequant(
-                    rows, x_scale.reshape(-1), w_q, w_scale,
-                    out_dtype=out_dtype or jnp.float32, tile_m=tile_m,
-                    interpret=jax.default_backend() != "tpu")
-                return y.reshape(*lead, n)
+        interp = jax.default_backend() != "tpu"
+        if x_q.ndim == 3:
+            # 3-D-native kernel: no flatten in the GRAPH (the in-situ loss
+            # of the 2-D route was ~14 ms/step of reshape/relayout copies
+            # around the kernel — PERF.md "Round-3 int8-GEMM shootout")
+            for tb in (16, 8):
+                if int8_matmul.supports_3d(*x_q.shape, n, tb):
+                    return int8_matmul.int8_matmul_dequant_3d(
+                        x_q, x_scale, w_q, w_scale, bias=bias, relu=relu,
+                        out_dtype=out_dtype or jnp.float32, tile_b=tb,
+                        interpret=interp)
+        if bias is None and not relu:
+            for tile_m in (512, 256):   # shrink the tile until VMEM fits
+                if int8_matmul.supports(m, k, n, tile_m):
+                    y = int8_matmul.int8_matmul_dequant(
+                        rows, x_scale.reshape(-1), w_q, w_scale,
+                        out_dtype=out_dtype or jnp.float32, tile_m=tile_m,
+                        interpret=interp)
+                    return y.reshape(*lead, n)
     acc = jax.lax.dot_general(
         rows, w_q,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -103,4 +122,8 @@ def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
         * (x_scale.astype(jnp.float32).reshape(-1, 1) * w_scale[None, :])
     if out_dtype is not None:
         y = y.astype(out_dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), y.dtype))
     return y.reshape(*lead, n)
