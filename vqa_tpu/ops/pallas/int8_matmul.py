@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, xs_ref, w_ref, ws_ref, out_ref):
+def _kernel(x_ref, xs_ref, w_ref, ws_ref, out_ref, *, relu: bool = False,
+            b_ref=None):
     acc = jax.lax.dot_general(
         x_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -51,13 +52,20 @@ def _kernel(x_ref, xs_ref, w_ref, ws_ref, out_ref):
     # identical op order to ops/quant.py int8_dot: scales multiply first
     # (f32), then scale the f32-cast accumulator, then cast once.
     scale = xs_ref[:].astype(jnp.float32) * ws_ref[:].astype(jnp.float32)
-    out_ref[:] = (acc.astype(jnp.float32) * scale).astype(out_ref.dtype)
+    y = (acc.astype(jnp.float32) * scale).astype(out_ref.dtype)
+    if b_ref is not None:     # bias/ReLU in VMEM — see _kernel3
+        y = y + b_ref[:].astype(out_ref.dtype)
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), out_ref.dtype))
+    out_ref[:] = y
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_dtype", "tile_m", "interpret"))
+                   static_argnames=("out_dtype", "tile_m", "relu",
+                                    "interpret"))
 def int8_matmul_dequant(x_q: jax.Array, x_scale: jax.Array, w_q: jax.Array,
                         w_scale: jax.Array, *, out_dtype=jnp.bfloat16,
+                        bias: jax.Array | None = None, relu: bool = False,
                         tile_m: int = 512,
                         interpret: bool = False) -> jax.Array:
     """``(x_q @ w_q) * x_scale[:, None] * w_scale[None, :]`` fused.
@@ -66,6 +74,7 @@ def int8_matmul_dequant(x_q: jax.Array, x_scale: jax.Array, w_q: jax.Array,
     x_scale: [M] float (any float dtype; upcast to f32 in-kernel)
     w_q:     [K, N] int8 (the [K, N] block must fit VMEM: K*N <= ~4 MB)
     w_scale: [N] float32
+    bias/relu: optional epilogue in VMEM (same op order as ops/quant.py)
     Returns [M, N] ``out_dtype``. Rows are padded to a tile multiple
     internally; use :func:`supports` to gate callers.
     """
@@ -76,17 +85,27 @@ def int8_matmul_dequant(x_q: jax.Array, x_scale: jax.Array, w_q: jax.Array,
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
         x_scale = jnp.pad(x_scale, (0, pad))
     grid = ((m + pad) // tile_m,)
+    in_specs = [
+        pl.BlockSpec((tile_m, k), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_q, x_scale.reshape(-1, 1), w_q, w_scale.reshape(1, -1)]
+    kernel = functools.partial(_kernel, relu=relu)
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias.reshape(1, -1))
+
+        def kernel(x, xs, w, ws, b, o):            # noqa: F811
+            _kernel(x, xs, w, ws, o, relu=relu, b_ref=b)
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_m, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m + pad, n), out_dtype),
@@ -95,7 +114,7 @@ def int8_matmul_dequant(x_q: jax.Array, x_scale: jax.Array, w_q: jax.Array,
             bytes_accessed=(m + pad) * k + k * n + (m + pad) * n * 2,
             transcendentals=0),
         interpret=interpret,
-    )(x_q, x_scale.reshape(-1, 1), w_q, w_scale.reshape(1, -1))
+    )(*operands)
     return out[:m] if pad else out
 
 

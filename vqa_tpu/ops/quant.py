@@ -106,14 +106,14 @@ def int8_dot(x_q: jax.Array, x_scale: jax.Array, kernel: jax.Array,
                         x_q, x_scale, w_q, w_scale, bias=bias, relu=relu,
                         out_dtype=out_dtype or jnp.float32, tile_b=tb,
                         interpret=interp)
-        if bias is None and not relu:
-            for tile_m in (512, 256):   # shrink the tile until VMEM fits
-                if int8_matmul.supports(m, k, n, tile_m):
-                    y = int8_matmul.int8_matmul_dequant(
-                        rows, x_scale.reshape(-1), w_q, w_scale,
-                        out_dtype=out_dtype or jnp.float32, tile_m=tile_m,
-                        interpret=interp)
-                    return y.reshape(*lead, n)
+        for tile_m in (512, 256):   # shrink the tile until VMEM fits
+            if int8_matmul.supports(m, k, n, tile_m):
+                y = int8_matmul.int8_matmul_dequant(
+                    rows, x_scale.reshape(-1), w_q, w_scale,
+                    bias=bias, relu=relu,
+                    out_dtype=out_dtype or jnp.float32, tile_m=tile_m,
+                    interpret=interp)
+                return y.reshape(*lead, n)
     acc = jax.lax.dot_general(
         rows, w_q,
         dimension_numbers=(((1,), (0,)), ((), ())),
