@@ -131,6 +131,11 @@ def main():
             compute_dtype=jnp.bfloat16, B=4096, feed="int8")
         run("Up-Down VQA, B=8192, bf16 mixed, int8 feed",
             compute_dtype=jnp.bfloat16, B=8192, feed="int8")
+    if which == "vqa-int8-xl":
+        run("Up-Down VQA, B=8192, bf16 mixed (dense)",
+            compute_dtype=jnp.bfloat16, B=8192)
+        run("Up-Down VQA, B=16384, bf16 mixed, int8 feed",
+            compute_dtype=jnp.bfloat16, B=16384, feed="int8")
     if which in ("all", "mtl"):
         run("MTL VQA+BUTD, B=512, bf16, stacked (r2 layout)",
             caption=True, compute_dtype=jnp.bfloat16, fused_cap=False)
