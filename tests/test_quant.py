@@ -290,3 +290,35 @@ def test_lazy_v_independent_of_use_int8(rng):
     # dense feed: no img_q, no lazy path
     dense = {"img": jnp.asarray(img), "q": batch["q"]}
     assert "v_sum" not in enc.apply(params, dense)
+
+
+def test_encoder_int8_pallas_route_matches_xla_route(rng):
+    """BaseEncoder(use_int8=True, use_pallas=True) — the 3-D fused kernel
+    + pool_int8 route (interpret mode off-TPU) == the XLA int8 route: the
+    fused epilogue and the pooling kernel are pure layout optimizations.
+    Shapes chosen so int8_matmul.supports_3d and lazyv_pool.supports both
+    accept (the route must actually exercise the kernels)."""
+    from vqa_tpu.models.encoder import BaseEncoder
+    from vqa_tpu.ops.pallas import int8_matmul, lazyv_pool
+    B, N, D, H = 32, 36, 256, 128
+    assert int8_matmul.supports_3d(B, N, D, H, tile_b=8)
+    assert lazyv_pool.supports(B, N, D)
+    img = (rng.standard_normal((B, N, D)) * 0.5).astype(np.float32)
+    img_q, s = map(np.asarray, quantize_features(img))
+    batch = {"img_q": jnp.asarray(img_q), "img_scale": jnp.asarray(s),
+             "q": jnp.asarray(rng.integers(0, 50, (B, 10)), jnp.int32)}
+    kw = dict(ntoken=50, embed_dim=16, hidden_dim=H, dropout=0.0,
+              att_type="new", att_dropout=0.0, use_int8=True)
+    enc = BaseEncoder(**kw)
+    encp = BaseEncoder(**{**kw, "use_pallas": True})
+    # use_pallas also swaps the GRU; share params (same structure) and
+    # compare the attention/pooling outputs, which the int8 route feeds
+    params = enc.init(jax.random.PRNGKey(5), batch)
+    want = enc.apply(params, batch)
+    got = encp.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(got["v_att"], np.float32),
+                               np.asarray(want["v_att"], np.float32),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["v_sum"], np.float32),
+                               np.asarray(want["v_sum"], np.float32),
+                               rtol=1e-5, atol=1e-5)
