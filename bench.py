@@ -17,15 +17,32 @@ bottom-up-attention-vqa codebase this reference derives from reports epoch
 times equivalent to ~2.2k q/s *training* on a Titan Xp, putting eager eval
 at roughly 2x that. REF_GPU_QPS = 165 x 30 = ~5,000 q/s encodes the
 measured floor x documented factor (2x the round-1 guess of 2,500 —
-deliberately the stricter bar). vs_baseline = value / (5 * REF_GPU_QPS), so
-vs_baseline >= 1.0 means the 5x target is met.
+deliberately the stricter bar). NOTE: the divisor is an honest estimate,
+not a measurement of the reference on a GPU. vs_baseline =
+value / (5 * REF_GPU_QPS), so vs_baseline >= 1.0 means the 5x target is met.
 
-Two configurations (see PERF.md):
-- fast: int8 feature feed + bf16 parameters + lazy-v pooling + the streaming
-  Pallas GRU kernel (716k q/s measured, round 3) — long XLA compile through
-  this harness's remote-compile relay (~5-7 min), and one observed compile
-  hang, so it runs in a watchdogged subprocess;
-- safe: f32 XLA (226k q/s, ~40 s compile) — the fallback that always lands.
+Budget-aware ladder (round 4 — BENCH_r03 timed out with nothing emitted, so
+the structure is now guaranteed-result-first):
+
+  1. ``safe``   — f32 XLA (226k q/s, ~40 s compile). Runs FIRST, in a
+                  watchdogged subprocess. Always lands; its number is held.
+  2. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
+                  streaming Pallas GRU kernel (703-716k q/s measured round
+                  3). Attempted only with the time actually left against a
+                  hard self-imposed deadline (VQA_BENCH_DEADLINE_S, default
+                  460 s — the driver window is assumed to be as small as
+                  ~10 min total).
+  3. ``medium`` — bf16 params + Pallas GRU, dense bf16 feed (the round-2
+                  fast config, 444k q/s driver-captured). Attempted only if
+                  ``fast`` failed and time remains.
+
+The parent process never imports JAX; each config runs in its own
+subprocess so a remote-compile hang can only burn its own slice of the
+budget. Exactly one JSON line is emitted at the end — the best result
+obtained — and phase-progress lines go to stderr so a future timeout is
+diagnosable from the captured tail. The XLA compilation cache is persisted
+(JAX_COMPILATION_CACHE_DIR) so a second run in the same container gets
+compiled graphs back for free if the backend honors the cache.
 
 Measurement notes:
 - Each timed iteration runs REPS=8 *data-dependently chained* forwards in
@@ -38,10 +55,11 @@ Measurement notes:
   through the relay, so fetches are the only reliable completion signal;
   queueing multiple executions before a fetch can hang the relay, so the
   loop is strictly serial.)
-- Inputs are staged in HBM outside the loop. The harness tunnel's
+- Inputs are staged in HBM outside the loop, generated on-device by a small
+  jitted producer (uploading them would take minutes: the harness tunnel's
   host->device bandwidth (~130 MB/s) is two orders of magnitude below a real
-  v5e host link, so including the 75 MB/batch feature upload would benchmark
-  the test tunnel, not the chip; the production feed path (packed shards ->
+  v5e host link). Including per-batch feature upload would benchmark the
+  test tunnel, not the chip; the production feed path (packed shards ->
   prefetch loader -> device_put) is exercised in tests and main.py instead.
 """
 
@@ -59,11 +77,20 @@ REF_GPU_QPS = 5000.0   # measured CPU floor x documented GPU factor, see docstri
 REF_CPU_QPS = 165.0    # measured: eager eval loop, 1 CPU core, this host
 TARGET_MULTIPLIER = 5.0
 
-BATCH_SIZE = 16384
+BATCH_SIZE = int(os.environ.get("VQA_BENCH_BATCH", 16384))
 WARMUP = 2
-ITERS = 3
-REPS = 8           # forwards chained per fetch (data-dependent; see below)
-FAST_TIMEOUT_S = 720
+ITERS = int(os.environ.get("VQA_BENCH_ITERS", 3))
+REPS = int(os.environ.get("VQA_BENCH_REPS", 8))
+
+# Hard self-imposed wall-clock deadline for the WHOLE bench (parent start ->
+# JSON emitted). The driver's window is unknown; round 3 proved it can be
+# shorter than 720 s + a safe-config run, so assume ~10 min total and leave
+# margin for interpreter startup and the final emit.
+DEADLINE_S = float(os.environ.get("VQA_BENCH_DEADLINE_S", 460))
+EMIT_MARGIN_S = 20.0    # reserved for parent bookkeeping + final emit
+# Minimum budget worth even starting a config attempt (subprocess startup +
+# JAX import is ~25 s through this container; a compile needs real time).
+MIN_ATTEMPT_S = {"safe": 90.0, "fast": 150.0, "medium": 120.0}
 
 NTOKEN = 20000
 ANS_DIM = 3129
@@ -71,51 +98,75 @@ NUM_OBJS = 36
 V_DIM = 2048
 Q_LEN = 10
 
+T0 = time.monotonic()
 
-def run_config(fast: bool) -> float:
+
+def log(msg: str) -> None:
+    """Phase-progress line on stderr (diagnosable from a captured tail)."""
+    print(f"[bench +{time.monotonic() - T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def run_config(cfg: str) -> float:
     import jax
+
+    if os.environ.get("VQA_BENCH_PLATFORM") == "cpu":
+        # structural testing without the chip: the axon sitecustomize
+        # force-sets jax_platforms via config (wins over the env var), so
+        # override it back before any backend initializes
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     from vqa_tpu.models.wrapper import set_model
 
-    try:
-        from ml_dtypes import bfloat16 as feat_dtype
-    except ImportError:
-        feat_dtype = np.float32
-
+    log(f"child[{cfg}]: jax imported, devices={jax.devices()}")
     model = set_model(
         encoder_type="base", predictor_type="base", decoder_type="none",
         ntoken=NTOKEN, v_dim=V_DIM, embed_dim=300, hidden_dim=1024,
         decoder_hidden_dim=512, ans_dim=ANS_DIM, c_len=20, dropout=0.2,
-        att_type="new", use_pallas=fast)
+        att_type="new", use_pallas=(cfg != "safe"))
 
-    rng = np.random.default_rng(0)
-    batches = []
-    for _ in range(2):  # rotate distinct device-resident batches
-        x = rng.standard_normal((BATCH_SIZE, NUM_OBJS, V_DIM),
-                                dtype=np.float32)
-        b = {"q": jnp.asarray(
-            rng.integers(0, NTOKEN, (BATCH_SIZE, Q_LEN)).astype(np.int32))}
-        if fast:
-            # the production int8 feed with bf16 scales + lazy v (the
-            # encoder pools attended features directly over the int8
-            # payload, so the dequantized [B, objs, v_dim] tensor is never
-            # materialized — models/encoder.py lazy_v, on by default):
-            # measured 22.9 ms/call vs 31.5 materialized and 33.4 for the
-            # dense bf16 feed, and faster than running the GEMM itself in
-            # int8 (PERF.md "int8 MXU")
-            from vqa_tpu.data.shards import quantize_features
-            q8, scales = quantize_features(x)
-            b["img_q"] = jnp.asarray(q8)
-            b["img_scale"] = jnp.asarray(scales).astype(jnp.bfloat16)
+    # Stage inputs ON DEVICE. Host generation + upload of the feature
+    # tensors (4.8 GB/batch in f32) costs minutes of numpy time plus
+    # minutes of tunnel time (~130 MB/s) and blew the round-4 staging
+    # probe's budget; a small jitted producer generates them in HBM from a
+    # PRNG key instead (the only upload is the key). The fast config's
+    # quantization matches data/shards.quantize_features (symmetric
+    # per-box absmax/127) so the encoder sees the production int8 feed:
+    # int8 payload + bf16 scales + lazy-v pooling (models/encoder.py
+    # lazy_v) measured 22.9 ms/call vs 31.5 materialized and 33.4 dense
+    # bf16, and beats running the GEMM itself in int8 (PERF.md "int8 MXU").
+    @jax.jit
+    def make_batch(key):
+        kq, kx = jax.random.split(key)
+        q = jax.random.randint(kq, (BATCH_SIZE, Q_LEN), 0, NTOKEN,
+                               dtype=jnp.int32)
+        x = jax.random.normal(kx, (BATCH_SIZE, NUM_OBJS, V_DIM),
+                              dtype=jnp.float32)
+        b = {"q": q}
+        if cfg == "fast":
+            scales = jnp.maximum(jnp.abs(x).max(axis=-1) / 127.0, 1e-8)
+            b["img_q"] = jnp.clip(jnp.rint(x / scales[..., None]),
+                                  -127, 127).astype(jnp.int8)
+            b["img_scale"] = scales.astype(jnp.bfloat16)
+        elif cfg == "medium":
+            b["img"] = x.astype(jnp.bfloat16)
         else:
-            b["img"] = jnp.asarray(x.astype(feat_dtype))
-        batches.append(b)
+            b["img"] = x
+        return b
+
+    t = time.monotonic()
+    batches = [make_batch(jax.random.key(i))
+               for i in range(2)]  # rotate distinct device-resident batches
+    log(f"child[{cfg}]: device-side staging dispatched "
+        f"in {time.monotonic() - t:.1f}s")
     small = {k: v[:32] for k, v in batches[0].items()}
     params = model.init(jax.random.key(0), small)["params"]
-    if fast:
+    if cfg != "safe":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params)
+    log(f"child[{cfg}]: inputs staged, starting compile")
 
     # REPS forwards are chained inside one jit with a data dependency (each
     # iteration's predicted ids perturb the next iteration's question
@@ -123,7 +174,6 @@ def run_config(fast: bool) -> float:
     # completion proof as per-iteration fetches, but the harness relay's
     # fixed per-dispatch cost (~20-30 ms, absent on a production TPU host)
     # amortizes to ~1/REPS per forward instead of dominating the number.
-    @jax.jit
     def infer_chain(params, batch):
         def step(i, c):
             b = dict(batch, q=(batch["q"] + c[:, None]) % NTOKEN)
@@ -132,47 +182,108 @@ def run_config(fast: bool) -> float:
         return jax.lax.fori_loop(
             0, REPS, step, jnp.zeros((BATCH_SIZE,), jnp.int32))
 
-    for i in range(WARMUP):
-        np.asarray(infer_chain(params, batches[i % 2]))
+    # Plain jax.jit ONLY: the AOT ``.lower().compile()`` path returns
+    # immediately through this harness's remote-compile relay (compile is
+    # deferred) and its first dispatch then HANGS outright — measured
+    # 2026-08-19 on a trivial 512x512 graph. Compile time is therefore
+    # timed as the first call (compile + first run), which is also what
+    # the budget actually pays.
+    compiled = jax.jit(infer_chain)
+    t = time.monotonic()
+    np.asarray(compiled(params, batches[0]))
+    log(f"child[{cfg}]: compile+first-run done in {time.monotonic() - t:.1f}s")
+
+    for i in range(1, WARMUP):
+        np.asarray(compiled(params, batches[i % 2]))
+    log(f"child[{cfg}]: warmup done, measuring")
 
     start = time.perf_counter()
     for i in range(ITERS):
-        labels = np.asarray(infer_chain(params, batches[i % 2]))
+        labels = np.asarray(compiled(params, batches[i % 2]))
     elapsed = time.perf_counter() - start
     assert labels.shape == (BATCH_SIZE,)
-    return BATCH_SIZE * REPS * ITERS / elapsed
+    qps = BATCH_SIZE * REPS * ITERS / elapsed
+    log(f"child[{cfg}]: measured {qps:.1f} q/s")
+    return qps
 
 
-def emit(qps: float) -> None:
+def emit(qps: float, cfg: str) -> None:
+    log(f"emitting result: {qps:.1f} q/s ({cfg} config)")
     print(json.dumps({
         "metric": "vqa_updown_batch_inference_questions_per_sec_per_chip",
         "value": round(qps, 1),
         "unit": "questions/s",
         "vs_baseline": round(qps / (TARGET_MULTIPLIER * REF_GPU_QPS), 3),
-    }))
+    }), flush=True)
+
+
+def attempt(cfg: str, budget_s: float) -> float | None:
+    """Run one config in a watchdogged subprocess; return qps or None."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(
+        os.environ, VQA_BENCH_CONFIG=cfg,
+        PYTHONPATH=here + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        # persist compiled graphs across attempts/runs when honored
+        JAX_COMPILATION_CACHE_DIR=os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.join(here, ".jax_cache")),
+    )
+    log(f"attempting config '{cfg}' with budget {budget_s:.0f}s")
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE, stderr=None,
+                            text=True, start_new_session=True)
+    try:
+        out, _ = proc.communicate(timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        log(f"config '{cfg}' hit its {budget_s:.0f}s watchdog; killing")
+        try:
+            import signal
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError, OSError):
+            proc.kill()
+        proc.wait()
+        return None
+    for line in (out or "").splitlines():
+        if line.startswith("QPS "):
+            return float(line.split()[1])
+    log(f"config '{cfg}' exited rc={proc.returncode} without a QPS line")
+    return None
 
 
 def main():
     cfg = os.environ.get("VQA_BENCH_CONFIG", "")
     if cfg:  # child process: run one configuration and print the raw qps
-        print(f"QPS {run_config(fast=(cfg == 'fast')):.1f}")
+        print(f"QPS {run_config(cfg):.1f}", flush=True)
         return
 
-    # try the fast configuration under a watchdog, fall back to safe
-    env = dict(os.environ, VQA_BENCH_CONFIG="fast",
-               PYTHONPATH=os.path.dirname(os.path.abspath(__file__))
-               + os.pathsep + os.environ.get("PYTHONPATH", ""))
-    try:
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              timeout=FAST_TIMEOUT_S)
-        for line in proc.stdout.splitlines():
-            if line.startswith("QPS "):
-                emit(float(line.split()[1]))
-                return
-    except subprocess.TimeoutExpired:
-        pass
-    emit(run_config(fast=False))
+    def remaining() -> float:
+        return DEADLINE_S - (time.monotonic() - T0) - EMIT_MARGIN_S
+
+    best: tuple[float, str] | None = None
+    # Phase 1: the guaranteed-to-land config, first, with a bounded watchdog
+    # so even a safe-config hang cannot eat the whole window.
+    qps = attempt("safe", min(240.0, max(MIN_ATTEMPT_S["safe"], remaining())))
+    if qps:
+        best = (qps, "safe")
+
+    # Phase 2: the fast config, with only the time actually left.
+    if remaining() >= MIN_ATTEMPT_S["fast"]:
+        qps = attempt("fast", remaining())
+        if qps and (not best or qps > best[0]):
+            best = (qps, "fast")
+        # Phase 3: if fast failed and time remains, the r2 medium config.
+        elif not (qps and best and qps > best[0]) and \
+                remaining() >= MIN_ATTEMPT_S["medium"]:
+            qps = attempt("medium", remaining())
+            if qps and (not best or qps > best[0]):
+                best = (qps, "medium")
+    else:
+        log(f"skipping fast config: only {remaining():.0f}s left")
+
+    if best:
+        emit(*best)
+    else:
+        log("FAILED: no config produced a number inside the deadline")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -95,23 +95,31 @@ def main():
         jax.tree_util.tree_map(row_major, params),
         jax.tree_util.tree_map(row_major, batch),
     )}
+    # R3 must actually run the XLA int8 dot: m_q8 has use_pallas=True, which
+    # the encoder forwards into int8_dot, so the Pallas 3-D kernel would be
+    # routed unless BOTH shape gates are forced off (ADVICE r3 #2 — the old
+    # int8_dot use_pallas=True monkeypatch was a no-op and R3 silently ran
+    # the same config as R5 plus layout pinning).
+    from vqa_tpu.ops.pallas import int8_matmul
+    real_supports = int8_matmul.supports
+    real_supports_3d = int8_matmul.supports_3d
     if not os.environ.get("VQA_ONLY_R5"):
-        bench(m_q8, params, batch, "R3 XLA int8 v-proj + pinned layouts",
-              jit_kwargs=jit_kwargs)
-
-    real_int8_dot = quant_mod.int8_dot
-    quant_mod.int8_dot = lambda *a, **k: real_int8_dot(
-        *a, **{**k, "use_pallas": True})
-    try:
-        if not os.environ.get("VQA_ONLY_R5"):
-            bench(m_q8, params, batch,
-                  "R4 Pallas int8 v-proj + pinned layouts",
+        int8_matmul.supports = lambda *a, **k: False
+        int8_matmul.supports_3d = lambda *a, **k: False
+        try:
+            bench(m_q8, params, batch, "R3 XLA int8 v-proj + pinned layouts",
                   jit_kwargs=jit_kwargs)
-        # R5: the 3-D-native kernel (int8_dot picks it for 3-D inputs),
-        # default layouts — no reshape exists in the graph to fight over
-        bench(m_q8, params, batch, "R5 Pallas-3d int8 v-proj")
-    finally:
-        quant_mod.int8_dot = real_int8_dot
+        finally:
+            int8_matmul.supports = real_supports
+            int8_matmul.supports_3d = real_supports_3d
+        # R4: the Pallas route (the model's default at these shapes) with
+        # the same pinned layouts — no monkeypatch needed
+        bench(m_q8, params, batch,
+              "R4 Pallas int8 v-proj + pinned layouts",
+              jit_kwargs=jit_kwargs)
+    # R5: the 3-D-native kernel (int8_dot picks it for 3-D inputs),
+    # default layouts — no reshape exists in the graph to fight over
+    bench(m_q8, params, batch, "R5 Pallas-3d int8 v-proj")
 
 
 if __name__ == "__main__":

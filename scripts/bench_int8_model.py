@@ -66,12 +66,17 @@ def main():
     bench(m_bf, params, batch_bf, "bf16 feed, bf16 GEMMs")
     # the use_int8 model routes the v-projection through the fused Pallas
     # int8 GEMM (ops/pallas/int8_matmul.py) when use_pallas is on; forcing
-    # supports() off isolates the XLA int8_dot route for the same graph
+    # BOTH shape gates off isolates the XLA int8_dot route for the same
+    # graph (a 3-D img_q takes the supports_3d gate first — patching only
+    # supports() would leave the Pallas 3-D kernel routed, ADVICE r3 #1)
     from vqa_tpu.ops.pallas import int8_matmul
     real_supports = int8_matmul.supports
+    real_supports_3d = int8_matmul.supports_3d
     int8_matmul.supports = lambda *a, **k: False
+    int8_matmul.supports_3d = lambda *a, **k: False
     bench(m_q8, params, batch_q8, "int8 feed, int8 v-proj (XLA) + lazy v")
     int8_matmul.supports = real_supports
+    int8_matmul.supports_3d = real_supports_3d
     bench(m_q8, params, batch_q8, "int8 feed, int8 v-proj (Pallas) + lazy v")
     # int8 feed + bf16 GEMMs: the dequant fuses into both feature reads
     # (projection operand + att*v pooling), halving their HBM traffic,

@@ -19,11 +19,18 @@ cast), so the kernel is a pure layout optimization, pinned by
 tests/test_pallas.py::test_int8_matmul_*.
 
 MEASURED VERDICT (round 3, PERF.md "Round-3 int8-GEMM shootout"): isolated
-at the flagship shape the kernel ties the XLA int8 dot (6.79 vs 6.66 ms —
-XLA fuses the epilogue fine in isolation); in-situ in the model graph it
-LOSES (37.8 vs 35.0 ms/call at B=16384) to operand relayout copies. It
-therefore ships as an opt-in library path (``int8_dot(use_pallas=True)``)
-and is NOT routed into any model.
+at the flagship shape the 2-D kernel ties the XLA int8 dot (6.79 vs 6.66 ms
+— XLA fuses the epilogue fine in isolation); in-situ in the model graph it
+LOSES (37.8 vs 35.0 ms/call at B=16384) to operand relayout copies. The
+3-D-native variant (``int8_matmul_dequant_3d``, no graph flatten) closed
+most of that gap and IS routed into BaseEncoder's v-projection whenever
+``use_int8`` and ``use_pallas`` are both set — but its best measured
+model-level time (31.4 ms) still loses to the shipping configuration
+(int8 *feed* + bf16 GEMMs + lazy v, 23.2 ms): with one quantized activation
+shared by a GEMM and 3-D pooling/attention consumers, layout friction
+consumes the int8 MXU's entire 1.9x rate advantage. Enabling both flags is
+therefore a measured regression at the flagship shape; the pair remains
+supported for shapes where the GEMM dominates.
 
 VMEM budget at TM=512, K=2048, N=1024: x tile 1 MB + w 2 MB + int32 acc
 2 MB + f32 epilogue 2 MB + bf16 out 1 MB (x2 pipeline buffers on the small

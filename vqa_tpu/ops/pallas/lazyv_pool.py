@@ -82,8 +82,23 @@ def pool_int8(w: jax.Array, x_q: jax.Array, *, tile_b: int = 32,
 
 def supports(b: int, n: int, d: int, tile_b: int = 32,
              itemsize: int = 2) -> bool:
-    """Shape gate: double-buffered int8 tile + product temp + output."""
-    vmem = (2 * tile_b * n * d                       # int8 tiles (pipelined)
-            + tile_b * n * d * itemsize              # product temp
-            + 2 * tile_b * d * itemsize + tile_b * n * itemsize)
-    return b >= tile_b and d % 128 == 0 and vmem <= 12 * 1024 * 1024
+    """Shape gate against v5e VMEM (16 MB physical).
+
+    The f32 intermediates are budgeted explicitly at 4 bytes/element
+    (ADVICE r3: the old gate priced the product temp at ``itemsize`` and
+    omitted the cast entirely, underestimating real demand ~2.5x). One
+    fusion assumption, backed by evidence: Mosaic folds the broadcast
+    product into the ``jnp.sum`` reduction rather than materializing the
+    full [tile_b, n, d] f32 product — the flagship tile (32, 36, 2048)
+    compiles and runs (PERF.md round-3 int8-GEMM shootout) while int8
+    tiles + cast + a materialized product would need ~24 MB > physical
+    VMEM. What provably coexists: the double-buffered int8 tiles, the
+    f32 cast of one tile, the weight tile + its cast, the f32
+    accumulator, and the double-buffered output.
+    """
+    vmem = (2 * tile_b * n * d                  # int8 tiles (pipelined)
+            + 4 * tile_b * n * d                # f32 cast of one tile
+            + tile_b * n * (itemsize + 4)       # w tile + f32 cast
+            + 4 * tile_b * d                    # f32 accumulator
+            + 2 * tile_b * d * itemsize)        # out tiles (pipelined)
+    return b >= tile_b and d % 128 == 0 and vmem <= 15 * 1024 * 1024
