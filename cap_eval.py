@@ -42,21 +42,35 @@ def main(argv=None) -> dict:
     parser.add_argument("--load_ref", type=str,
                         default="../annot/VQA-E/val2014_captions.json")
     parser.add_argument("--load_path", type=str)
-    parser.add_argument("--synonym_path", type=str, default="",
+    parser.add_argument("--synonym_path", type=str, default="auto",
                         help="synset table for the METEOR synonym module "
                              "(one synonym group per line; see "
-                             "vqa_tpu.tools.metrics.SynsetTable for the "
-                             "format and how to generate it from WordNet). "
-                             "Empty: exact+stem modules only")
-    parser.add_argument("--paraphrase_path", type=str, default="",
+                             "vqa_tpu.tools.metrics.SynsetTable). 'auto' "
+                             "(default): the bundled mini table, so all "
+                             "four METEOR 1.5 modules run out of the box — "
+                             "generate the full WordNet table with "
+                             "scripts/make_meteor_tables.py. 'none': "
+                             "exact+stem modules only")
+    parser.add_argument("--paraphrase_path", type=str, default="auto",
                         help="phrase table for the METEOR paraphrase "
                              "module ('phrase a ||| phrase b' per line; "
                              "see vqa_tpu.tools.metrics.ParaphraseTable). "
-                             "Empty: module off")
+                             "'auto' (default): the bundled mini table; "
+                             "'none': module off")
     args = parser.parse_args(argv)
 
     from vqa_tpu.tools.metrics import (score, load_synsets,
-                                       load_paraphrases)
+                                       load_paraphrases, bundled_table)
+
+    for attr, name in (("synonym_path", "meteor_synonyms_mini.txt"),
+                       ("paraphrase_path", "meteor_paraphrases_mini.txt")):
+        val = getattr(args, attr)
+        if val == "auto":
+            setattr(args, attr, bundled_table(name))
+        elif val in ("", "none"):
+            setattr(args, attr, "")
+    print(f"METEOR tables: synonyms={args.synonym_path or '(off)'} "
+          f"paraphrases={args.paraphrase_path or '(off)'}")
 
     exp_dir = os.path.join("checkpoint", args.load_path)
     hypotheses = load_decoded(os.path.join(exp_dir, "decode.txt"))

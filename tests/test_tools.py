@@ -458,3 +458,118 @@ def test_vocab_topk_kernel_parity():
     want = jax.scipy.special.logsumexp(logits, axis=1, keepdims=True)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_make_meteor_tables_wordnet(tmp_path):
+    """scripts/make_meteor_tables.py synonyms: WNdb data.* files -> the
+    one-group-per-line format load_synsets reads (multi-word lemmas
+    dropped, (p)-style adjective markers stripped, singleton groups
+    omitted)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        import make_meteor_tables as mmt
+    finally:
+        sys.path.pop(0)
+    wn = tmp_path / "dict"
+    wn.mkdir()
+    (wn / "data.noun").write_text(
+        "  1 This is a WNdb license header line\n"
+        "  2 more header\n"
+        "02084071 05 n 02 dog 0 domestic_dog 0 001 @ 02083346 n 0000 "
+        "| a member of the genus Canis\n"
+        "09217230 17 n 03 beach 0 strand 1 shore 0 000 | sandy margin\n"
+        "04105893 06 n 01 sofa 0 000 | singleton group, dropped\n")
+    (wn / "data.adj").write_text(
+        "00001740 00 a 02 able 0 capable(p) 0 000 | marker stripped\n")
+    groups = mmt.parse_wordnet_synsets(str(wn))
+    assert ["beach", "strand", "shore"] in groups
+    assert ["able", "capable"] in groups
+    # 'domestic_dog' is multi-word -> the dog synset has 1 word, dropped
+    assert not any("dog" in g for g in groups)
+
+    out = tmp_path / "english.synsets"
+    rc = mmt.main(["synonyms", "--wordnet_dir", str(wn), "-o", str(out)])
+    assert rc == 0
+    from vqa_tpu.tools.metrics import load_synsets
+    table = load_synsets(str(out))
+    assert table.synonyms("beach", "shore")
+    assert table.synonyms("able", "capable")
+    assert not table.synonyms("beach", "able")
+
+
+def test_make_meteor_tables_paraphrases(tmp_path):
+    """scripts/make_meteor_tables.py paraphrases: the |||-separated
+    paraphrase-en(.gz) rows (weighted or not, or tab-separated) -> the
+    'a ||| b' format load_paraphrases reads, with min-weight filtering."""
+    import gzip
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        import make_meteor_tables as mmt
+    finally:
+        sys.path.pop(0)
+    src = tmp_path / "paraphrase-en.gz"
+    with gzip.open(src, "wt", encoding="utf-8") as f:
+        f.write("0.92 ||| riding a bike ||| cycling\n"       # weight first
+                "photo ||| picture ||| 0.88\n"                # weight last
+                "a couple of ||| two\n"                       # unweighted
+                "shore\tcoast\n"                              # tab pair
+                "0.01 ||| junk match ||| noise\n"             # filtered
+                "same ||| same\n"                             # degenerate
+                "# comment\n\n")
+    pairs = mmt.parse_paraphrase_table(str(src), min_weight=0.5)
+    assert ("riding a bike", "cycling") in pairs
+    assert ("photo", "picture") in pairs
+    assert ("a couple of", "two") in pairs
+    assert ("shore", "coast") in pairs
+    assert ("junk match", "noise") not in pairs
+    assert ("same", "same") not in pairs
+
+    out = tmp_path / "paraphrase-en.txt"
+    rc = mmt.main(["paraphrases", "--paraphrase_file", str(src),
+                   "--min_weight", "0.5", "-o", str(out)])
+    assert rc == 0
+    from vqa_tpu.tools.metrics import load_paraphrases
+    table = load_paraphrases(str(out))
+    assert table.paraphrases(("cycling",)) == {("riding", "a", "bike")}
+    assert table.paraphrases(("coast",)) == {("shore",)}
+
+
+def test_cap_eval_bundled_tables_all_four_modules(tmp_path, monkeypatch):
+    """Out-of-box cap_eval runs all four METEOR 1.5 modules: the bundled
+    mini synonym/paraphrase tables load by default ('auto') and move the
+    score on captions whose only extra matches are a synset hit
+    (man~guy, module 3) and a phrase-table hit (riding a bike~cycling,
+    module 4); 'none' disables both, reproducing the exact+stem score.
+    Reference counterpart: the jar's bundled corpora,
+    /root/reference/cap_eval.py:28."""
+    import json
+    import cap_eval
+
+    exp = tmp_path / "checkpoint" / "caps"
+    exp.mkdir(parents=True)
+    (exp / "decode.txt").write_text(
+        "<start> a guy is cycling down the street\n"
+        "<start> a dog jumps over the fence\n")
+    refs = {"data": [
+        {"c_word": ["a man is riding a bike down the street"]},
+        {"c_word": ["a dog jumping over the fence"]},   # stem-only hit
+    ]}
+    ref_path = tmp_path / "val2014_captions.json"
+    ref_path.write_text(json.dumps(refs))
+
+    monkeypatch.chdir(tmp_path)
+    base = ["--load_path", "caps", "--load_ref", str(ref_path)]
+    with_tables = cap_eval.main(base)
+    plain = cap_eval.main(base + ["--synonym_path", "none",
+                                  "--paraphrase_path", "none"])
+    assert with_tables["METEOR"] > plain["METEOR"], (with_tables, plain)
+    # the bundled tables change METEOR only — n-gram metrics unaffected
+    for k in ("Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"):
+        assert with_tables[k] == plain[k]
+    # explicit paths still win over 'auto'
+    from vqa_tpu.tools.metrics import bundled_table
+    assert bundled_table("meteor_synonyms_mini.txt").endswith(
+        "meteor_synonyms_mini.txt")
+    assert bundled_table("missing_table.txt") == ""

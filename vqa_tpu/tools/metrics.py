@@ -36,6 +36,7 @@ refs/hyps map id -> [sentence, ...].
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
@@ -207,6 +208,19 @@ class SynsetTable:
     def synonyms(self, a: str, b: str) -> bool:
         sa = self._sets.get(a)
         return bool(sa) and not sa.isdisjoint(self._sets.get(b, ()))
+
+
+def bundled_table(name: str) -> str:
+    """Path of a bundled mini table (vqa_tpu/tools/data/<name>).
+
+    The jar bundles its full WordNet + paraphrase-en corpora; those are not
+    redistributable here, so small hand-written stand-ins ship instead and
+    ``scripts/make_meteor_tables.py`` converts the real downloads into the
+    same formats. Returns "" if the file is missing (module stays off).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", name)
+    return path if os.path.exists(path) else ""
 
 
 def load_synsets(path: str) -> SynsetTable:
