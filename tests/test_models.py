@@ -397,10 +397,13 @@ def test_pallas_att_gate_falls_back_off_tpu(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_fused_vjp_gradients_match_autodiff_with_dropout(rng):
+@pytest.mark.parametrize("bits8", [True, False])
+def test_fused_vjp_gradients_match_autodiff_with_dropout(rng, bits8):
     """The hand-structured backward equals plain autodiff of the identical
     pure forward under ACTIVE dropout (same fold_in keys => same masks) —
-    for every input: params, v, vp, v_gates, prev_seq, h0s."""
+    for every input: params, v, vp, v_gates, prev_seq, h0s. Both dropout
+    streams (uint8 thresh/256 and f32-uniform, PARITY.md dropout-stream
+    matrix) are covered."""
     from vqa_tpu.ops.decode_scan import make_butd_caption_scan
     B, NOBJ, VDIM, E, H, T = 4, 7, 24, 10, 12, 6
     f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.3
@@ -422,7 +425,7 @@ def test_fused_vjp_gradients_match_autodiff_with_dropout(rng):
     for det in (True, False):
         scan_fn, ref_fn = make_butd_caption_scan(
             hidden_dim=H, v_dim=VDIM, dropout=0.4, att_dropout=0.25,
-            deterministic=det)
+            deterministic=det, bits8_dropout=bits8)
         np.testing.assert_allclose(np.asarray(scan_fn(*args, key)),
                                    np.asarray(ref_fn(*args, key)),
                                    rtol=1e-6, atol=1e-6)
