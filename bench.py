@@ -24,25 +24,30 @@ value / (5 * REF_GPU_QPS), so vs_baseline >= 1.0 means the 5x target is met.
 Budget-aware ladder (round 4 — BENCH_r03 timed out with nothing emitted, so
 the structure is now guaranteed-result-first):
 
-  1. ``safe``   — f32 XLA (226k q/s, ~40 s compile). Runs FIRST, in a
+  1. ``safe``   — f32 XLA (332k q/s r4, ~32 s compile). Runs FIRST, in a
                   watchdogged subprocess. Always lands; its number is held.
-  2. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
-                  streaming Pallas GRU kernel (703-716k q/s measured round
-                  3). Attempted only with the time actually left against a
-                  hard self-imposed deadline (VQA_BENCH_DEADLINE_S, default
+  2. ``medium`` — bf16 params + Pallas GRU, dense bf16 feed (the round-2
+                  fast config; 505k q/s, 8.7 s compile measured r4).
+                  Cheaply raises the guaranteed floor.
+  3. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
+                  streaming Pallas GRU kernel (762-781k q/s measured r4).
+                  Its compile through the relay is the variable one (62.7 s
+                  and 313.1 s observed for the SAME graph cold; 2.2 s with
+                  the persisted compilation cache warm), so it goes last,
+                  with only the time actually left against a hard
+                  self-imposed deadline (VQA_BENCH_DEADLINE_S, default
                   460 s — the driver window is assumed to be as small as
                   ~10 min total).
-  3. ``medium`` — bf16 params + Pallas GRU, dense bf16 feed (the round-2
-                  fast config, 444k q/s driver-captured). Attempted only if
-                  ``fast`` failed and time remains.
 
 The parent process never imports JAX; each config runs in its own
 subprocess so a remote-compile hang can only burn its own slice of the
 budget. Exactly one JSON line is emitted at the end — the best result
 obtained — and phase-progress lines go to stderr so a future timeout is
 diagnosable from the captured tail. The XLA compilation cache is persisted
-(JAX_COMPILATION_CACHE_DIR) so a second run in the same container gets
-compiled graphs back for free if the backend honors the cache.
+(JAX_COMPILATION_CACHE_DIR, default .jax_cache next to this file) and the
+axon relay backend DOES honor it (measured r4: fast-config compile drops
+313 s -> 2.2 s warm), so any run after the first in a container gets every
+config for free.
 
 Measurement notes:
 - Each timed iteration runs REPS=8 *data-dependently chained* forwards in
@@ -160,7 +165,19 @@ def run_config(cfg: str) -> float:
                for i in range(2)]  # rotate distinct device-resident batches
     log(f"child[{cfg}]: device-side staging dispatched "
         f"in {time.monotonic() - t:.1f}s")
-    small = {k: v[:32] for k, v in batches[0].items()}
+    # init batch built host-side: slicing the device batches would dispatch
+    # eager slice ops through the relay (each one a small remote compile)
+    rng = np.random.default_rng(0)
+    small = {"q": np.zeros((32, Q_LEN), np.int32)}
+    if cfg == "fast":
+        small["img_q"] = rng.integers(-127, 128, (32, NUM_OBJS, V_DIM)
+                                      ).astype(np.int8)
+        # f32 here is fine: init only fixes param SHAPES (params are f32
+        # masters regardless and get cast to bf16 below)
+        small["img_scale"] = np.full((32, NUM_OBJS), 0.01, np.float32)
+    else:
+        small["img"] = rng.standard_normal(
+            (32, NUM_OBJS, V_DIM)).astype(np.float32)
     params = model.init(jax.random.key(0), small)["params"]
     if cfg != "safe":
         params = jax.tree_util.tree_map(
@@ -265,19 +282,18 @@ def main():
     if qps:
         best = (qps, "safe")
 
-    # Phase 2: the fast config, with only the time actually left.
-    if remaining() >= MIN_ATTEMPT_S["fast"]:
-        qps = attempt("fast", remaining())
-        if qps and (not best or qps > best[0]):
-            best = (qps, "fast")
-        # Phase 3: if fast failed and time remains, the r2 medium config.
-        elif not (qps and best and qps > best[0]) and \
-                remaining() >= MIN_ATTEMPT_S["medium"]:
-            qps = attempt("medium", remaining())
+    # Phase 2: medium before fast — its graph compiles in ~9-60 s through
+    # the relay (measured r4) and lands ~505k, so the guaranteed floor
+    # climbs cheaply; fast's compile is the variable one (62-313 s observed
+    # for the SAME graph cold; ~2 s with the persisted compilation cache
+    # warm, which attempt() arranges).
+    for cfg in ("medium", "fast"):
+        if remaining() >= MIN_ATTEMPT_S[cfg]:
+            qps = attempt(cfg, remaining())
             if qps and (not best or qps > best[0]):
-                best = (qps, "medium")
-    else:
-        log(f"skipping fast config: only {remaining():.0f}s left")
+                best = (qps, cfg)
+        else:
+            log(f"skipping '{cfg}' config: only {remaining():.0f}s left")
 
     if best:
         emit(*best)

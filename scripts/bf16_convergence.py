@@ -1,14 +1,24 @@
-"""bf16 mixed-precision convergence study (VERDICT r1 item 6).
+"""Numerics-variant convergence study (VERDICT r1 item 6; extended r4).
 
-Trains the Up-Down VQA+caption MTL model on the synthetic mini-split twice
-— f32 and bf16-compute (master params/moments f32) — with identical seeds
-and data order, and reports the loss trajectories plus final VQA scores.
-Runs on CPU (the study is about numerics, not speed). Results go into
-PERF.md "bf16 training".
+Trains the Up-Down VQA+caption MTL model on the synthetic mini-split with
+identical seeds and data order under each numerics variant —
 
-Usage: PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/bf16_convergence.py
+  f32            pure float32 (the reference's arithmetic)
+  bf16           bf16 compute, f32 master params/moments (the default)
+  int8feed-bf16  int8 quantized feature feed + bf16 compute (the shipping
+                 fast-config economics, data/shards.quantize_features)
+
+— and reports loss trajectories plus final train-split VQA scores. Runs on
+CPU (the study is about numerics, not speed). Results are recorded in
+PERF.md "bf16 training" — step-parity tests pin per-step agreement, this
+pins that the variants *converge* alike over a long horizon.
+
+Usage:
+  PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/bf16_convergence.py \
+      [--steps 600]
 """
 
+import argparse
 import json
 import os
 import tempfile
@@ -20,17 +30,31 @@ import numpy as np
 from vqa_tpu.data.synthetic import make_synthetic_root
 from vqa_tpu.data.dataset import set_dataset
 from vqa_tpu.data.loader import Loader
+from vqa_tpu.data.shards import quantize_features
 from vqa_tpu.models.wrapper import set_model
 from vqa_tpu.training import optim as optim_lib
-from vqa_tpu.training.state import create_train_state, make_train_step
+from vqa_tpu.training.state import (
+    create_train_state, make_eval_step, make_train_step,
+)
 from vqa_tpu.training.train import model_batch
 
-STEPS = 120
 BATCH = 32
 
 
-def run(train_dtype: str, root: str, paths: dict) -> dict:
+def _int8_feed(batch):
+    """Replace the dense feature tensor with the production int8 feed."""
     import jax.numpy as jnp
+    q8, scales = quantize_features(np.asarray(batch["img"]))
+    out = {k: v for k, v in batch.items() if k != "img"}
+    out["img_q"] = jnp.asarray(q8)
+    out["img_scale"] = jnp.asarray(scales)
+    return out
+
+
+def run(variant: str, root: str, paths: dict, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
     ds = set_dataset(load_path=paths["annot"],
                      feature_path=paths["feature_root"],
                      ans_dim=paths["ans_dim"],
@@ -49,20 +73,22 @@ def run(train_dtype: str, root: str, paths: dict) -> dict:
     for b in loader:
         sample = model_batch(b)
         break
+    # identical init across variants: always from the dense sample
     state = create_train_state(model, tx, sample, seed=1111)
-    compute_dtype = jnp.bfloat16 if train_dtype == "bfloat16" else None
+    compute_dtype = None if variant == "f32" else jnp.bfloat16
+    feed = _int8_feed if variant == "int8feed-bf16" else (lambda b: b)
     step = make_train_step(model, tx, compute_dtype=compute_dtype)
 
     losses, i = [], 0
-    while i < STEPS:
+    while i < steps:
         for b in loader:
-            if i >= STEPS:
+            if i >= steps:
                 break
-            state, metrics = step(state, model_batch(b))
+            state, metrics = step(state, feed(model_batch(b)))
             losses.append(float(metrics["loss"]))
             i += 1
-    # quick train-split VQA score with the final params (greedy argmax)
-    from vqa_tpu.training.state import make_eval_step
+    # quick train-split VQA score with the final params (greedy argmax),
+    # always evaluated on the dense feed so the score is comparable
     eval_step = make_eval_step(model)
     score = n = 0.0
     for b in loader:
@@ -70,37 +96,47 @@ def run(train_dtype: str, root: str, paths: dict) -> dict:
         s, _, _ = eval_step(state.params, model_batch(b))
         score += float(np.asarray(s)[:nvalid].sum())
         n += nvalid
-    # confirm master params stayed f32
-    import jax
     dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(state.params)}
-    return {"dtype": train_dtype, "losses": losses,
+    return {"variant": variant, "losses": losses,
             "final_score": score / n, "param_dtypes": sorted(dtypes)}
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=600,
+                        help="training steps per variant (600 = ~75 epochs "
+                             "of the mini-split: the long-horizon study)")
+    args = parser.parse_args()
+    steps = args.steps
+
     with tempfile.TemporaryDirectory() as root:
         paths = make_synthetic_root(root, num_images=16, num_questions=256,
                                     num_objs=6, v_dim=32, vocab_size=40,
                                     num_answers=12, seed=3)
-        r32 = run("float32", root, paths)
-        r16 = run("bfloat16", root, paths)
+        runs = [run(v, root, paths, steps)
+                for v in ("f32", "bf16", "int8feed-bf16")]
 
-    k = max(1, STEPS // 10)
-    print(f"{'step':>6} {'f32 loss':>12} {'bf16 loss':>12} {'rel diff':>10}")
-    for i in range(0, STEPS, k):
-        a, b = r32["losses"][i], r16["losses"][i]
-        print(f"{i:>6} {a:>12.5f} {b:>12.5f} {abs(a - b) / abs(a):>10.4f}")
-    a, b = r32["losses"][-1], r16["losses"][-1]
-    print(f"{STEPS - 1:>6} {a:>12.5f} {b:>12.5f} {abs(a - b) / abs(a):>10.4f}")
+    r32, r16, rq8 = runs
+    k = max(1, steps // 10)
+    print(f"{'step':>6} {'f32 loss':>12} {'bf16 loss':>12} {'int8f loss':>12}")
+    idxs = list(range(0, steps, k)) + [steps - 1]
+    for i in idxs:
+        print(f"{i:>6} {r32['losses'][i]:>12.5f} {r16['losses'][i]:>12.5f} "
+              f"{rq8['losses'][i]:>12.5f}")
+
+    def gap(a, b):
+        return float(np.mean([abs(x - y) / abs(x)
+                              for x, y in zip(a[-20:], b[-20:])]))
+
     print(json.dumps({
-        "final_loss_f32": r32["losses"][-1],
-        "final_loss_bf16": r16["losses"][-1],
-        "final_score_f32": r32["final_score"],
-        "final_score_bf16": r16["final_score"],
+        "steps": steps,
+        "final_loss": {r["variant"]: r["losses"][-1] for r in runs},
+        "final_score": {r["variant"]: r["final_score"] for r in runs},
         "bf16_param_dtypes": r16["param_dtypes"],
-        "mean_rel_loss_gap_last20": float(np.mean([
-            abs(x - y) / abs(x) for x, y in
-            zip(r32["losses"][-20:], r16["losses"][-20:])])),
+        "mean_rel_loss_gap_last20": {
+            "bf16_vs_f32": gap(r32["losses"], r16["losses"]),
+            "int8feed_vs_f32": gap(r32["losses"], rq8["losses"]),
+        },
     }, indent=2))
 
 

@@ -39,13 +39,16 @@ def main():
     clen = int(sys.argv[2]) if len(sys.argv) > 2 else CLEN
     # optional 3rd arg "int8": the production quantized feed (factored scan)
     feed = sys.argv[3] if len(sys.argv) > 3 else "dense"
+    # optional 4th arg "pallas": the fused decode-attention kernels
+    # (ops/pallas/decode_att.py) — the shipping MTL config
+    use_pallas = len(sys.argv) > 4 and sys.argv[4] == "pallas"
     print("devices:", jax.devices(), "B:", B, "clen:", clen, "feed:", feed,
-          flush=True)
+          "pallas:", use_pallas, flush=True)
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024,
                       decoder_hidden_dim=1024, ans_dim=ANS, c_len=CLEN,
-                      att_type="new", use_mtl=True)
+                      att_type="new", use_mtl=True, use_pallas=use_pallas)
     rng = np.random.default_rng(0)
     img = rng.standard_normal((B, NOBJ, VDIM), dtype=np.float32)
     batch = {
