@@ -295,6 +295,21 @@ def main():
         else:
             log(f"skipping '{cfg}' config: only {remaining():.0f}s left")
 
+    # Last resort: if EVERY rung stalled (observed once: a relay window so
+    # bad even safe blew its watchdog), re-roll the cheapest rungs with
+    # whatever time is left — a later window often recovers. Bounded
+    # retries so an instant-crash failure mode cannot spin.
+    retries = 0
+    while not best and retries < 4 and remaining() >= MIN_ATTEMPT_S["safe"]:
+        retries += 1
+        for cfg in ("safe", "medium"):
+            if remaining() < MIN_ATTEMPT_S[cfg]:
+                continue
+            qps = attempt(cfg, remaining())
+            if qps:
+                best = (qps, cfg)
+                break
+
     if best:
         emit(*best)
     else:
