@@ -29,12 +29,15 @@ def main():
     argv = sys.argv[2:]
     clen = int(argv.pop(0)) if argv and argv[0].isdigit() else CLEN
     feed = argv.pop(0) if argv and argv[0] in ("dense", "int8") else "dense"
+    use_pallas = bool(argv) and argv[0] == "pallas"
+    if use_pallas:
+        argv.pop(0)
     names = argv
     model = set_model(encoder_type="base", predictor_type="base",
                       decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024,
                       decoder_hidden_dim=1024, ans_dim=ANS, c_len=CLEN,
-                      att_type="new", use_mtl=True)
+                      att_type="new", use_mtl=True, use_pallas=use_pallas)
     rng = np.random.default_rng(0)
     img = rng.standard_normal((B, NOBJ, VDIM), dtype=np.float32)
     batch = {
