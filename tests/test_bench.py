@@ -1,0 +1,56 @@
+"""Structural test of the driver benchmark ladder (bench.py).
+
+Round 3's driver bench timed out with nothing emitted (BENCH_r03.json
+rc=124) — the single most expensive failure a round can have — so the
+restructured ladder's contract is pinned here: run as a real subprocess
+on CPU with tiny shapes, it must emit EXACTLY one valid JSON line on
+stdout (whatever happens on stderr), with the schema the driver records.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(env_extra, timeout=600):
+    env = dict(
+        os.environ,
+        VQA_BENCH_PLATFORM="cpu",
+        VQA_BENCH_BATCH="64",
+        VQA_BENCH_ITERS="2",
+        VQA_BENCH_REPS="2",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        **env_extra,
+    )
+    return subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+def test_bench_ladder_emits_one_json_line():
+    proc = _run_bench({})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    result = json.loads(lines[0])
+    assert result["metric"] == \
+        "vqa_updown_batch_inference_questions_per_sec_per_chip"
+    assert result["unit"] == "questions/s"
+    assert result["value"] > 0
+    assert result["vs_baseline"] > 0
+    # the ladder must have tried safe first (stderr phase log)
+    assert "attempting config 'safe'" in proc.stderr
+
+
+def test_bench_tiny_deadline_still_lands():
+    """Even with an exhausted deadline the safe rung gets its MIN_ATTEMPT
+    floor and a number is emitted — the r3 nothing-emitted failure mode
+    must be impossible as long as one safe run can complete."""
+    proc = _run_bench({"VQA_BENCH_DEADLINE_S": "1"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1 and json.loads(lines[0])["value"] > 0
+    assert "skipping" in proc.stderr  # later rungs were correctly skipped

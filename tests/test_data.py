@@ -258,6 +258,31 @@ def test_grain_loader_adapter(root):
     b = batches[0]
     assert b["img"].shape == (8, root["num_objs"], root["v_dim"])
     assert b["a"].shape == (8, root["ans_dim"])
+    assert int(b["nvalid"]) == 8
+
+
+def test_grain_loader_pads_tail_like_loader(root):
+    """Loader protocol parity: the tail batch is padded to batch_size by
+    repeating row 0 and carries nvalid (loader.py _batches semantics), so
+    the Grain adapter is drop-in for the jitted fixed-shape steps."""
+    pytest.importorskip("grain")
+    from vqa_tpu.data.grain_loader import make_grain_loader
+    ds = _ds(root, "vqa")
+    bs = 7
+    assert len(ds) % bs != 0, "fixture must leave a tail batch"
+    batches = list(make_grain_loader(ds, batch_size=bs, shuffle=False))
+    assert len(batches) == -(-len(ds) // bs)
+    full, tail = batches[0], batches[-1]
+    n_tail = len(ds) % bs
+    for b in batches:
+        assert b["img"].shape == (bs, root["num_objs"], root["v_dim"])
+    assert int(full["nvalid"]) == bs
+    assert int(tail["nvalid"]) == n_tail
+    # padded rows repeat row 0 of the tail
+    for k in ("img", "q", "a"):
+        pad = np.asarray(tail[k][n_tail:])
+        np.testing.assert_array_equal(
+            pad, np.repeat(np.asarray(tail[k][:1]), bs - n_tail, axis=0))
 
 
 def test_int8_quantized_shards(root, tmp_path):
