@@ -38,6 +38,10 @@ the structure is now guaranteed-result-first):
                   self-imposed deadline (VQA_BENCH_DEADLINE_S, default
                   460 s — the driver window is assumed to be as small as
                   ~10 min total).
+  4. ``fast32`` — fast at B=32768 (+4.7% cross-window r3, but its graph
+                  hung remote compile twice). Attempted ONLY after fast's
+                  number is already held: a hang burns leftover time,
+                  never the result.
 
 The parent process never imports JAX; each config runs in its own
 subprocess so a remote-compile hang can only burn its own slice of the
@@ -85,7 +89,10 @@ TARGET_MULTIPLIER = 5.0
 BATCH_SIZE = int(os.environ.get("VQA_BENCH_BATCH", 16384))
 WARMUP = 2
 ITERS = int(os.environ.get("VQA_BENCH_ITERS", 3))
-REPS = int(os.environ.get("VQA_BENCH_REPS", 8))
+# 16 chained forwards per fetch: at ~21 ms/forward the ~25 ms relay
+# dispatch amortizes to ~0.7% of the number (8 left ~2%) — closer to the
+# pure chip rate a production host sees. Still one dispatch per fetch.
+REPS = int(os.environ.get("VQA_BENCH_REPS", 16))
 
 # Hard self-imposed wall-clock deadline for the WHOLE bench (parent start ->
 # JSON emitted). The driver's window is unknown; round 3 proved it can be
@@ -95,7 +102,8 @@ DEADLINE_S = float(os.environ.get("VQA_BENCH_DEADLINE_S", 460))
 EMIT_MARGIN_S = 20.0    # reserved for parent bookkeeping + final emit
 # Minimum budget worth even starting a config attempt (subprocess startup +
 # JAX import is ~25 s through this container; a compile needs real time).
-MIN_ATTEMPT_S = {"safe": 90.0, "fast": 150.0, "medium": 120.0}
+MIN_ATTEMPT_S = {"safe": 90.0, "fast": 150.0, "medium": 120.0,
+                 "fast32": 180.0}
 
 NTOKEN = 20000
 ANS_DIM = 3129
@@ -244,6 +252,9 @@ def attempt(cfg: str, budget_s: float) -> float | None:
         JAX_COMPILATION_CACHE_DIR=os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", os.path.join(here, ".jax_cache")),
     )
+    if cfg == "fast32":  # the fast config at B=32768 (see main())
+        env["VQA_BENCH_CONFIG"] = "fast"
+        env["VQA_BENCH_BATCH"] = "32768"
     log(f"attempting config '{cfg}' with budget {budget_s:.0f}s")
     proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                             env=env, stdout=subprocess.PIPE, stderr=None,
@@ -294,6 +305,18 @@ def main():
                 best = (qps, cfg)
         else:
             log(f"skipping '{cfg}' config: only {remaining():.0f}s left")
+
+    # Opportunistic top rung: fast at B=32768 measured +4.7% cross-window
+    # in r3 but its graph hung remote compile twice, so it runs ONLY once
+    # fast's number is already held — a hang burns leftover time, never
+    # the result.
+    if (best and best[1] == "fast"
+            and remaining() >= MIN_ATTEMPT_S["fast32"]
+            and "VQA_BENCH_BATCH" not in os.environ          # default shape
+            and os.environ.get("VQA_BENCH_PLATFORM") != "cpu"):
+        qps = attempt("fast32", remaining())
+        if qps and qps > best[0]:
+            best = (qps, "fast32")
 
     # Last resort: if EVERY rung stalled (observed once: a relay window so
     # bad even safe blew its watchdog), re-roll the cheapest rungs with
