@@ -24,24 +24,27 @@ value / (5 * REF_GPU_QPS), so vs_baseline >= 1.0 means the 5x target is met.
 Budget-aware ladder (round 4 — BENCH_r03 timed out with nothing emitted, so
 the structure is now guaranteed-result-first):
 
-  1. ``safe``   — f32 XLA (332k q/s r4, ~32 s compile). Runs FIRST, in a
-                  watchdogged subprocess. Always lands; its number is held.
-  2. ``medium`` — bf16 params + Pallas GRU, dense bf16 feed (the round-2
-                  fast config; 505k q/s, 8.7 s compile measured r4).
-                  Cheaply raises the guaranteed floor.
-  3. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
-                  streaming Pallas GRU kernel (762-781k q/s measured r4).
-                  Its compile through the relay is the variable one (62.7 s
-                  and 313.1 s observed for the SAME graph cold; 2.2 s with
-                  the persisted compilation cache warm), so it goes last,
-                  with only the time actually left against a hard
-                  self-imposed deadline (VQA_BENCH_DEADLINE_S, default
-                  460 s — the driver window is assumed to be as small as
-                  ~10 min total).
-  4. ``fast32`` — fast at B=32768 (+4.7% cross-window r3, but its graph
-                  hung remote compile twice). Attempted ONLY after fast's
-                  number is already held: a hang burns leftover time,
-                  never the result.
+  1. ``medium`` — bf16 params + Pallas GRU, dense bf16 feed (536k q/s
+                  r4). Runs FIRST in a watchdogged subprocess: across the
+                  r4 ladder runs it is the empirically most reliable
+                  graph (landed 4/4; the f32 graph stalled 2/4) and is
+                  worth 1.55x the f32 rate. Its number is held.
+  2. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
+                  streaming Pallas GRU kernel (892k q/s measured r4,
+                  REPS=16). Its compile through the relay is the variable
+                  one (62.7 s and 313.1 s observed for the SAME graph
+                  cold; 2.2 s with the persisted compilation cache warm),
+                  so it runs second, with the time actually left against
+                  a hard self-imposed deadline (VQA_BENCH_DEADLINE_S,
+                  default 460 s — the driver window is assumed to be as
+                  small as ~10 min total), minus a safety-net reserve if
+                  nothing has landed yet.
+  3. ``fast32`` — fast at B=32768 (932.7k q/s r4; historical compile
+                  hangs). Attempted ONLY after fast's number is already
+                  held: a hang burns leftover time, never the result.
+  4. ``safe``   — f32 XLA (345k q/s r4). The safety net: a different
+                  graph and failure surface, rolled (then medium again,
+                  bounded) only if nothing has landed.
 
 The parent process never imports JAX; each config runs in its own
 subprocess so a remote-compile hang can only burn its own slice of the
@@ -287,24 +290,26 @@ def main():
         return DEADLINE_S - (time.monotonic() - T0) - EMIT_MARGIN_S
 
     best: tuple[float, str] | None = None
-    # Phase 1: the guaranteed-to-land config, first, with a bounded watchdog
-    # so even a safe-config hang cannot eat the whole window.
-    qps = attempt("safe", min(240.0, max(MIN_ATTEMPT_S["safe"], remaining())))
+    # Rung 1: medium first — across every r4 ladder run it is the
+    # EMPIRICALLY most reliable graph (landed 4/4, compiles 8.7-119 s)
+    # and is worth 1.55x the f32 config (536k vs 345k); the f32 "safe"
+    # graph stalled past its watchdog in 2 of 4 windows. Bounded watchdog
+    # so one stall cannot eat the whole window.
+    qps = attempt("medium",
+                  min(240.0, max(MIN_ATTEMPT_S["medium"], remaining())))
     if qps:
-        best = (qps, "safe")
+        best = (qps, "medium")
 
-    # Phase 2: medium before fast — its graph compiles in ~9-60 s through
-    # the relay (measured r4) and lands ~505k, so the guaranteed floor
-    # climbs cheaply; fast's compile is the variable one (62-313 s observed
-    # for the SAME graph cold; ~2 s with the persisted compilation cache
-    # warm, which attempt() arranges).
-    for cfg in ("medium", "fast"):
-        if remaining() >= MIN_ATTEMPT_S[cfg]:
-            qps = attempt(cfg, remaining())
-            if qps and (not best or qps > best[0]):
-                best = (qps, cfg)
-        else:
-            log(f"skipping '{cfg}' config: only {remaining():.0f}s left")
+    # Rung 2: fast, with the time actually left — minus a reserve for the
+    # safety net below if NOTHING has landed yet (fast's compile is the
+    # variable one: 62-313 s observed cold for the same graph, ~2 s warm).
+    budget = remaining() - (0.0 if best else 110.0)
+    if budget >= MIN_ATTEMPT_S["fast"]:
+        qps = attempt("fast", budget)
+        if qps and (not best or qps > best[0]):
+            best = (qps, "fast")
+    else:
+        log(f"skipping 'fast' config: only {remaining():.0f}s left")
 
     # Opportunistic top rung: fast at B=32768 measured +4.7% cross-window
     # in r3 but its graph hung remote compile twice, so it runs ONLY once
@@ -318,10 +323,11 @@ def main():
         if qps and qps > best[0]:
             best = (qps, "fast32")
 
-    # Last resort: if EVERY rung stalled (observed once: a relay window so
-    # bad even safe blew its watchdog), re-roll the cheapest rungs with
-    # whatever time is left — a later window often recovers. Bounded
-    # retries so an instant-crash failure mode cannot spin.
+    # Safety net: if nothing has landed, roll the f32 safe graph (a
+    # DIFFERENT graph and failure surface than the bf16/Pallas rungs),
+    # then re-roll medium, with whatever time is left — a later window
+    # often recovers. Bounded retries so an instant-crash failure mode
+    # cannot spin.
     retries = 0
     while not best and retries < 4 and remaining() >= MIN_ATTEMPT_S["safe"]:
         retries += 1

@@ -41,8 +41,8 @@ def test_bench_ladder_emits_one_json_line():
     assert result["unit"] == "questions/s"
     assert result["value"] > 0
     assert result["vs_baseline"] > 0
-    # the ladder must have tried safe first (stderr phase log)
-    assert "attempting config 'safe'" in proc.stderr
+    # the ladder must lead with the reliable rung (stderr phase log)
+    assert "attempting config 'medium'" in proc.stderr
 
 
 def test_bench_tiny_deadline_still_lands():
