@@ -28,7 +28,12 @@ the structure is now guaranteed-result-first):
                   r4). Runs FIRST in a watchdogged subprocess: across the
                   r4 ladder runs it is the empirically most reliable
                   graph (landed 4/4; the f32 graph stalled 2/4) and is
-                  worth 1.55x the f32 rate. Its number is held.
+                  worth 1.55x the f32 rate. Warm compilation cache =>
+                  two SHORT tries (120/150 s) instead of one long one:
+                  window quality is roulette (the same cached graph
+                  compiled in 5.8 s and stalled past 240 s minutes
+                  apart), and attempts cost ~3 s of staging now that
+                  params load from a disk npz. Its number is held.
   2. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
                   streaming Pallas GRU kernel (892k q/s measured r4,
                   REPS=16). Its compile through the relay is the variable
@@ -73,12 +78,17 @@ Measurement notes:
   v5e host link). Including per-batch feature upload would benchmark the
   test tunnel, not the chip; the production feed path (packed shards ->
   prefetch loader -> device_put) is exercised in tests and main.py instead.
+- Model params are initialized ONCE in a CPU-only child and cached to
+  ``.bench_params.npz``: on-relay ``model.init`` costs ~30-35 s per child
+  (every init op pays the relay dispatch cost) vs ~0.5 s to upload the
+  cached tree — that headroom buys extra retry rungs in a stalled window.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -114,6 +124,17 @@ NUM_OBJS = 36
 V_DIM = 2048
 Q_LEN = 10
 
+# Initializing the model on the axon backend costs ~30-35 s per child (every
+# init op pays the relay's fixed dispatch cost), so params are initialized
+# ONCE in a CPU-only child and cached to disk; benchmark children load the
+# npz and upload ~60 MB through the tunnel (~0.5 s) instead. Values are
+# identical (threefry init is platform-deterministic) and the param tree is
+# feed-independent (dense/bf16/int8 feeds share one structure — tested).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+PARAMS_NPZ = os.path.join(_HERE, ".bench_params.npz")
+MODEL_SIG = (f"base/base/none:{NTOKEN}x{V_DIM}x300x1024x512x{ANS_DIM}"
+             ":clen20:att-new:v1")
+
 T0 = time.monotonic()
 
 
@@ -121,6 +142,69 @@ def log(msg: str) -> None:
     """Phase-progress line on stderr (diagnosable from a captured tail)."""
     print(f"[bench +{time.monotonic() - T0:6.1f}s] {msg}",
           file=sys.stderr, flush=True)
+
+
+def _build_model(use_pallas: bool):
+    from vqa_tpu.models.wrapper import set_model
+    return set_model(
+        encoder_type="base", predictor_type="base", decoder_type="none",
+        ntoken=NTOKEN, v_dim=V_DIM, embed_dim=300, hidden_dim=1024,
+        decoder_hidden_dim=512, ans_dim=ANS_DIM, c_len=20, dropout=0.2,
+        att_type="new", use_pallas=use_pallas)
+
+
+def _init_batch() -> dict:
+    # init only fixes param SHAPES; the dense feed's tree is identical to
+    # the int8 feed's (tested), so one batch structure serves every config
+    rng = np.random.default_rng(0)
+    return {"q": np.zeros((32, Q_LEN), np.int32),
+            "img": rng.standard_normal((32, NUM_OBJS, V_DIM)
+                                       ).astype(np.float32)}
+
+
+def _flatten(tree: dict, prefix: str = "", out: dict | None = None) -> dict:
+    out = {} if out is None else out
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            _flatten(v, prefix + k + "/", out)
+        else:
+            out[prefix + k] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        node = tree
+        *parents, leaf = k.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = v
+    return tree
+
+
+def make_params() -> None:
+    """CPU-only child: initialize the benchmark model once, cache to disk."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # must never touch the relay
+    model = _build_model(use_pallas=False)
+    params = model.init(jax.random.key(0), _init_batch())["params"]
+    flat = _flatten(jax.device_get(params))
+    tmp = PARAMS_NPZ + ".tmp.npz"  # np.savez appends .npz to bare names
+    np.savez(tmp, __sig__=np.array(MODEL_SIG), **flat)
+    os.replace(tmp, PARAMS_NPZ)
+    log(f"params cache written: {len(flat)} arrays, "
+        f"{os.path.getsize(PARAMS_NPZ) / 1e6:.1f} MB")
+
+
+def _cached_params_valid() -> bool:
+    if not os.path.exists(PARAMS_NPZ):
+        return False
+    try:
+        with np.load(PARAMS_NPZ) as z:
+            return str(z["__sig__"]) == MODEL_SIG
+    except Exception:
+        return False
 
 
 def run_config(cfg: str) -> float:
@@ -133,14 +217,9 @@ def run_config(cfg: str) -> float:
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
-    from vqa_tpu.models.wrapper import set_model
 
     log(f"child[{cfg}]: jax imported, devices={jax.devices()}")
-    model = set_model(
-        encoder_type="base", predictor_type="base", decoder_type="none",
-        ntoken=NTOKEN, v_dim=V_DIM, embed_dim=300, hidden_dim=1024,
-        decoder_hidden_dim=512, ans_dim=ANS_DIM, c_len=20, dropout=0.2,
-        att_type="new", use_pallas=(cfg != "safe"))
+    model = _build_model(use_pallas=(cfg != "safe"))
 
     # Stage inputs ON DEVICE. Host generation + upload of the feature
     # tensors (4.8 GB/batch in f32) costs minutes of numpy time plus
@@ -169,31 +248,45 @@ def run_config(cfg: str) -> float:
             b["img"] = x.astype(jnp.bfloat16)
         else:
             b["img"] = x
-        return b
+        # tiny data-dependent completion token: fetching it proves this
+        # execution finished, so staging never queues two executions
+        # before a fetch (the documented relay-hang trigger)
+        return b, q.sum()
 
     t = time.monotonic()
-    batches = [make_batch(jax.random.key(i))
-               for i in range(2)]  # rotate distinct device-resident batches
-    log(f"child[{cfg}]: device-side staging dispatched "
+    batches = []
+    for i in range(2):  # rotate distinct device-resident batches
+        b, done = make_batch(jax.random.key(i))
+        np.asarray(done)  # serialize: one in-flight execution at a time
+        batches.append(b)
+    log(f"child[{cfg}]: device-side staging done "
         f"in {time.monotonic() - t:.1f}s")
-    # init batch built host-side: slicing the device batches would dispatch
-    # eager slice ops through the relay (each one a small remote compile)
-    rng = np.random.default_rng(0)
-    small = {"q": np.zeros((32, Q_LEN), np.int32)}
-    if cfg == "fast":
-        small["img_q"] = rng.integers(-127, 128, (32, NUM_OBJS, V_DIM)
-                                      ).astype(np.int8)
-        # f32 here is fine: init only fixes param SHAPES (params are f32
-        # masters regardless and get cast to bf16 below)
-        small["img_scale"] = np.full((32, NUM_OBJS), 0.01, np.float32)
+    # Params come from the disk cache when present: model.init on the axon
+    # backend costs ~30-35 s/child (every init op pays the relay dispatch
+    # cost), vs ~0.5 s to upload the cached tree through the tunnel. The
+    # bf16 cast happens host-side (ml_dtypes) so the device never sees the
+    # f32 masters. Falls back to on-backend init if the cache is missing
+    # or stale (then refreshes it, best-effort).
+    if _cached_params_valid():
+        with np.load(PARAMS_NPZ) as z:
+            params = _unflatten(
+                {k: z[k] for k in z.files if k != "__sig__"})
+        log(f"child[{cfg}]: params loaded from cache")
     else:
-        small["img"] = rng.standard_normal(
-            (32, NUM_OBJS, V_DIM)).astype(np.float32)
-    params = model.init(jax.random.key(0), small)["params"]
+        log(f"child[{cfg}]: no valid params cache; initializing on-backend")
+        params = jax.device_get(
+            model.init(jax.random.key(0), _init_batch())["params"])
+        try:
+            tmp = PARAMS_NPZ + ".tmp.npz"
+            np.savez(tmp, __sig__=np.array(MODEL_SIG), **_flatten(params))
+            os.replace(tmp, PARAMS_NPZ)
+        except OSError as e:
+            log(f"child[{cfg}]: params cache write failed ({e})")
     if cfg != "safe":
         params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            params)
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == np.float32 else x, params)
+    params = jax.device_put(params)
     log(f"child[{cfg}]: inputs staged, starting compile")
 
     # REPS forwards are chained inside one jit with a data dependency (each
@@ -265,10 +358,20 @@ def attempt(cfg: str, budget_s: float) -> float | None:
     try:
         out, _ = proc.communicate(timeout=budget_s)
     except subprocess.TimeoutExpired:
+        # SIGTERM first: a SIGKILLed client wedges the relay for ~60 s
+        # (PERF.md quirks), taxing whichever rung runs next; a clean
+        # interpreter exit closes the relay connection properly. Escalate
+        # after a 5 s grace (a child truly stuck inside a relay RPC never
+        # runs its signal handler).
         log(f"config '{cfg}' hit its {budget_s:.0f}s watchdog; killing")
         try:
-            import signal
-            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            os.killpg(os.getpgid(proc.pid), signal.SIGTERM)
+            proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                proc.kill()
         except (ProcessLookupError, PermissionError, OSError):
             proc.kill()
         proc.wait()
@@ -280,7 +383,34 @@ def attempt(cfg: str, budget_s: float) -> float | None:
     return None
 
 
+def ensure_params_cache() -> None:
+    """Generate the shared params npz in a CPU-only child if absent.
+
+    ~20-30 s once (jax import dominates on this 1-core host), then every
+    benchmark child saves its ~30-35 s on-relay init — net positive from
+    the second attempt of the first run, and free on every later run.
+    Failure is non-fatal: children fall back to on-backend init.
+    """
+    if _cached_params_valid():
+        return
+    log("generating params cache (cpu-only child)")
+    env = dict(os.environ, VQA_BENCH_MAKE_PARAMS="1",
+               VQA_BENCH_PLATFORM="cpu",
+               PYTHONPATH=_HERE + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""))
+    try:
+        # stdout swallowed: the parent's stdout is the ONE-JSON-line channel
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, timeout=150, check=False,
+                       stdout=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        log("params-cache child timed out; children will init on-backend")
+
+
 def main():
+    if os.environ.get("VQA_BENCH_MAKE_PARAMS"):
+        make_params()
+        return
     cfg = os.environ.get("VQA_BENCH_CONFIG", "")
     if cfg:  # child process: run one configuration and print the raw qps
         print(f"QPS {run_config(cfg):.1f}", flush=True)
@@ -290,26 +420,50 @@ def main():
         return DEADLINE_S - (time.monotonic() - T0) - EMIT_MARGIN_S
 
     best: tuple[float, str] | None = None
-    # Rung 1: medium first — across every r4 ladder run it is the
-    # EMPIRICALLY most reliable graph (landed 4/4, compiles 8.7-119 s)
-    # and is worth 1.55x the f32 config (536k vs 345k); the f32 "safe"
-    # graph stalled past its watchdog in 2 of 4 windows. Bounded watchdog
-    # so one stall cannot eat the whole window.
-    qps = attempt("medium",
-                  min(240.0, max(MIN_ATTEMPT_S["medium"], remaining())))
-    if qps:
-        best = (qps, "medium")
+    ensure_params_cache()
 
-    # Rung 2: fast, with the time actually left — minus a reserve for the
-    # safety net below if NOTHING has landed yet (fast's compile is the
-    # variable one: 62-313 s observed cold for the same graph, ~2 s warm).
-    budget = remaining() - (0.0 if best else 110.0)
-    if budget >= MIN_ATTEMPT_S["fast"]:
+    # Window quality is roulette: the SAME cached medium graph compiled in
+    # 5.8 s and stalled past 240 s within minutes of each other
+    # (2026-08-19). With staging now ~3 s/child (params npz + serialized
+    # on-device batch gen), attempts are cheap — so when the compilation
+    # cache already holds infer_chain graphs, run SHORT watchdogs with a
+    # retry instead of one long try: two bounded tries survive one stalled
+    # window at the same total budget. A cold cache gets one long try (a
+    # killed compile writes nothing, so restarts don't accumulate).
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(_HERE, ".jax_cache"))
+    warm = os.path.isdir(cache_dir) and any(
+        f.startswith("jit_infer_chain") for f in os.listdir(cache_dir))
+    log(f"compilation cache {'warm' if warm else 'cold'} at {cache_dir}")
+
+    # Rung 1: medium first — the bf16+Pallas graph worth 1.55x the f32
+    # rate; r4 it landed 4/4 while f32 safe stalled 2/4.
+    for i, watchdog in enumerate((120.0, 150.0) if warm else (240.0,)):
+        # the FIRST try always gets its MIN floor even when the deadline
+        # is already blown — something must be attempted (the r3 lesson);
+        # only the retry is conditional on time actually remaining
+        if i and remaining() < MIN_ATTEMPT_S["medium"]:
+            break
+        qps = attempt("medium", min(
+            watchdog, max(MIN_ATTEMPT_S["medium"], remaining())))
+        if qps:
+            best = (qps, "medium")
+            break
+
+    # Rung 2: fast — bounded so one stall leaves room for fast32/safety
+    # net, minus a reserve when NOTHING has landed yet (fast's compile is
+    # the variable one: 62-313 s observed cold for the same graph, ~2 s
+    # warm).
+    for watchdog in ((240.0, 150.0) if warm else (300.0,)):
+        budget = min(watchdog, remaining() - (0.0 if best else 110.0))
+        if budget < MIN_ATTEMPT_S["fast"]:
+            log(f"skipping 'fast' config: only {remaining():.0f}s left")
+            break
         qps = attempt("fast", budget)
-        if qps and (not best or qps > best[0]):
-            best = (qps, "fast")
-    else:
-        log(f"skipping 'fast' config: only {remaining():.0f}s left")
+        if qps:
+            if not best or qps > best[0]:
+                best = (qps, "fast")
+            break
 
     # Opportunistic top rung: fast at B=32768 measured +4.7% cross-window
     # in r3 but its graph hung remote compile twice, so it runs ONLY once
