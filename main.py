@@ -309,7 +309,9 @@ def main():
         # kernel (GEMM + running top-k + online logsumexp, vocab_topk.py)
         beam = make_beam_search(model, k=3, c_len=args.c_len,
                                 start_id=vocab.start, end_id=vocab.end,
-                                fused_vocab=getattr(args, "use_pallas", False))
+                                fused_vocab=getattr(args, "use_pallas", False),
+                                approx_topk=bool(
+                                    getattr(args, "approx_topk", 0)))
         with open(os.path.join(save_path, "decode.txt"), "w") as f:
             for batch in val_loader:
                 nvalid = int(batch.pop("nvalid"))

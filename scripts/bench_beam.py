@@ -23,7 +23,7 @@ K, C_LEN = 3, 20
 WARMUP, ITERS = 2, 4
 
 
-def run(B, dtype, fused, streams=1):
+def run(B, dtype, fused, streams=1, approx=False):
     model = set_model(encoder_type="base", predictor_type="none",
                       decoder_type="butd", ntoken=NTOKEN, v_dim=VDIM,
                       embed_dim=300, hidden_dim=1024,
@@ -44,7 +44,7 @@ def run(B, dtype, fused, streams=1):
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
     bs = make_beam_search(model, k=K, c_len=C_LEN, start_id=NTOKEN - 3,
                           end_id=NTOKEN - 2, fused_vocab=fused,
-                          streams=streams)
+                          streams=streams, approx_topk=approx)
 
     def call():
         tokens, scores = bs(params, batch)
@@ -58,7 +58,7 @@ def run(B, dtype, fused, streams=1):
         call()
         best = min(best, time.perf_counter() - t0)
     name = (f"B={B} {dtype.__name__} {'fused-vocab' if fused else 'XLA'}"
-            f" S={streams}")
+            f" S={streams}{' approx-topk' if approx else ''}")
     print(f"{name:44s} {best * 1e3:8.1f} ms   ({B / best:,.0f} captions/s)",
           flush=True)
 
@@ -70,6 +70,9 @@ def main():
     if which in ("all", "fused"):
         for fused in (False, True):
             run(4096, jnp.bfloat16, fused)
+    if which in ("all", "approx"):
+        # opt-in serving trade: approx_max_k (recall .99) vocab top-k
+        run(4096, jnp.bfloat16, False, approx=True)
     if which in ("all", "streams"):
         # software-pipelined sub-batches: stream B's MXU work fills
         # stream A's VPU (top_k) tail

@@ -57,6 +57,42 @@ def two_stage_onehot(x):
     return feedback(vals, x)
 
 
+def approx_95(x):
+    vals, _ = jax.lax.approx_max_k(x, K, recall_target=0.95)
+    return feedback(vals, x)
+
+
+def approx_99(x):
+    vals, _ = jax.lax.approx_max_k(x, K, recall_target=0.99)
+    return feedback(vals, x)
+
+
+def bf16_select(x):
+    # exact-modulo-bf16-ties: select indices on a bf16 copy (half the sort
+    # bandwidth), gather the f32 values for the scores
+    _, idx = jax.lax.top_k(x.astype(jnp.bfloat16), K)
+    vals = jnp.take_along_axis(x, idx, axis=1)
+    return feedback(vals, x)
+
+
+def approx_99_both(x):
+    # both outputs consumed (beam needs vals AND word ids) — guard against
+    # XLA DCE-ing the index side in the values-only row
+    vals, idx = jax.lax.approx_max_k(x, K, recall_target=0.99)
+    return feedback(vals + idx.astype(x.dtype) * 0, x)
+
+
+def lax_topk_both(x):
+    vals, idx = jax.lax.top_k(x, K)
+    return feedback(vals + idx.astype(x.dtype) * 0, x)
+
+
+def approx_99_f32gather(x):
+    _, idx = jax.lax.approx_max_k(x, K, recall_target=0.99)
+    vals = jnp.take_along_axis(x, idx, axis=1)
+    return feedback(vals, x)
+
+
 def masked_3pass(x):
     # 3 x (max + mask) without argmax/indices
     vals = []
@@ -68,6 +104,50 @@ def masked_3pass(x):
     return feedback(jnp.concatenate(vals, axis=1), x)
 
 
+def approx_99_both_bf16(x):
+    xb = x.astype(jnp.bfloat16)
+    vals, idx = jax.lax.approx_max_k(xb, K, recall_target=0.99)
+    return feedback((vals + idx.astype(xb.dtype) * 0).astype(x.dtype), x)
+
+
+def lax_topk_both_bf16(x):
+    xb = x.astype(jnp.bfloat16)
+    vals, idx = jax.lax.top_k(xb, K)
+    return feedback((vals + idx.astype(xb.dtype) * 0).astype(x.dtype), x)
+
+
+def masked_3pass_idx(x):
+    # EXACT top-k incl. indices: sequential argmax+mask picks the lowest
+    # index first among equal values each pass — identical selection AND
+    # order to lax.top_k's tie rule
+    vals, idxs = [], []
+    iota = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+    y = x
+    for _ in range(K):
+        i = jnp.argmax(y, axis=1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(y, i[:, None], axis=1))
+        idxs.append(i[:, None])
+        y = jnp.where(iota == i[:, None], -jnp.inf, y)
+    vals = jnp.concatenate(vals, axis=1)
+    idx = jnp.concatenate(idxs, axis=1)
+    return feedback(vals + idx.astype(x.dtype) * 0, x)
+
+
+def masked_3pass_idx_bf16(x):
+    xb = x.astype(jnp.bfloat16)
+    vals, idxs = [], []
+    iota = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+    y = xb
+    for _ in range(K):
+        i = jnp.argmax(y, axis=1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(y, i[:, None], axis=1))
+        idxs.append(i[:, None])
+        y = jnp.where(iota == i[:, None], jnp.bfloat16(-jnp.inf), y)
+    vals = jnp.concatenate(vals, axis=1).astype(x.dtype)
+    idx = jnp.concatenate(idxs, axis=1)
+    return feedback(vals + idx.astype(x.dtype) * 0, x)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
@@ -75,7 +155,17 @@ def main():
     for fn, name in ((lax_topk, "lax.top_k custom call"),
                      (two_stage_gather, "two-stage, take_along_axis"),
                      (two_stage_onehot, "two-stage, one-hot matmul select"),
-                     (masked_3pass, "3x max+mask (values only)")):
+                     (masked_3pass, "3x max+mask (values only)"),
+                     (approx_95, "approx_max_k recall=0.95"),
+                     (approx_99, "approx_max_k recall=0.99"),
+                     (approx_99_both, "approx_max_k .99, vals+idx used"),
+                     (lax_topk_both, "lax.top_k, vals+idx used"),
+                     (approx_99_both_bf16, "approx .99 bf16, vals+idx"),
+                     (lax_topk_both_bf16, "lax.top_k bf16, vals+idx"),
+                     (approx_99_f32gather, "approx_max_k .99 + f32 gather"),
+                     (bf16_select, "bf16 top_k select + f32 gather"),
+                     (masked_3pass_idx, "3x argmax+mask, exact w/ idx"),
+                     (masked_3pass_idx_bf16, "3x argmax+mask bf16, w/ idx")):
         bench(lambda c, _fn=fn: _fn(c), x, (), name)
 
 

@@ -423,6 +423,42 @@ def test_topk_wide_matches_lax_topk():
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(wi))
 
 
+def test_topk_maskloop_matches_lax_topk():
+    """k sequential argmax+mask sweeps == lax.top_k bit-for-bit, INCLUDING
+    tie order (planted duplicate values spanning rows) and bf16 inputs."""
+    from vqa_tpu.ops.topk import topk_maskloop
+    import jax
+    rng = np.random.default_rng(7)
+    for dtype in (np.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((64, 8192)).astype(np.float32)
+                        ).astype(dtype)
+        # plant exact ties: same max value at three indices in some rows
+        x = x.at[5, [17, 4000, 8000]].set(jnp.asarray(50.0, dtype))
+        x = x.at[9, [0, 1]].set(jnp.asarray(50.0, dtype))
+        vals, idx = topk_maskloop(x, 3)
+        wv, wi = jax.lax.top_k(x, 3)
+        np.testing.assert_array_equal(np.asarray(vals.astype(jnp.float32)),
+                                      np.asarray(wv.astype(jnp.float32)))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(wi))
+
+
+def test_beam_approx_topk(setup):
+    """approx_topk=True (TPU PartialReduce vocab top-k, recall 0.99) is an
+    opt-in serving trade: outputs must be near-identical to the exact path
+    (on CPU the fallback lowering is exact, so agreement is 100%; the
+    tolerant bound keeps the test valid on TPU where ~1% of per-row
+    candidates may swap)."""
+    model, params, batch = setup
+    vocab = _vocab()
+    kw = dict(k=3, c_len=C_LEN, start_id=vocab.start, end_id=vocab.end)
+    tokens, scores = make_beam_search(model, **kw)(params, batch)
+    tokens_a, scores_a = make_beam_search(
+        model, approx_topk=True, **kw)(params, batch)
+    assert tokens_a.shape == tokens.shape and scores_a.shape == scores.shape
+    agree = (np.asarray(tokens_a) == np.asarray(tokens)).mean()
+    assert agree > 0.9, f"approx beams diverged: {agree:.3f} agreement"
+
+
 def test_beam_fused_vocab_matches_default(setup):
     """fused_vocab=True (Pallas vocab-head kernel: GEMM + running top-k +
     online logsumexp) returns the same beams and scores as the XLA path."""

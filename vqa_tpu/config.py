@@ -144,6 +144,13 @@ def parse_args(argv=None):
                              "the attention-dropout mask comes from the "
                              "in-kernel hardware PRNG, a different stream "
                              "than the XLA path at the same keep law)")
+    parser.add_argument("--approx_topk", type=int, default=0,
+                        help="decode mode: use the TPU PartialReduce custom "
+                             "call (lax.approx_max_k, recall 0.99) for the "
+                             "beam's per-step vocab top-k — APPROXIMATE "
+                             "serving trade (~1% of per-row top-k entries "
+                             "may swap with near-rank neighbors); no-op "
+                             "with --use_pallas (fused head stays exact)")
     parser.add_argument("--use_int8", type=int, default=0,
                         help="int8 MXU GEMMs at inference (training always "
                              "differentiates the f32 path): the attention "

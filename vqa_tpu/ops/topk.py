@@ -48,3 +48,39 @@ def topk_wide(x: jax.Array, k: int, group: int = 128):
     vals, ci = jax.lax.top_k(cand.reshape(R, k * group), k)
     g = jnp.take_along_axis(gidx, ci // group, axis=1)
     return vals, (g * group + ci % group).astype(jnp.int32)
+
+
+def topk_maskloop(x: jax.Array, k: int):
+    """Exact top-k via k sequential argmax+mask sweeps — measured NEGATIVE.
+
+    Bit-identical to ``lax.top_k`` including the lowest-index-first tie
+    rule: each ``argmax`` picks the lowest index among equal maxima, so
+    equal values come out in ascending-index order across passes exactly
+    as the custom call orders them. Measured at the beam vocab shape
+    ([12288, 20000], k=3, scripts/profile_topk.py, 2026-08-19): the
+    values-only max+mask loop runs 6.8 ms vs the custom call's 9.0, but
+    WITH indices consumed this loop costs **15.2 ms f32 / 14.5 bf16**
+    (vs 9.0/8.6) — the per-pass index-carrying argmax reduce plus [R, 1]
+    gathers relayout badly on TPU. Kept as a library op with a tie-order
+    parity test; ``jax.lax.approx_max_k`` (recall 0.99: 5.4-5.9 ms f32,
+    6.9 bf16) is the measured winner and ships as the beam's opt-in
+    ``approx_topk`` path (tools/beam.py).
+
+    Precondition: rows must hold at least k entries strictly greater than
+    -inf (masked picks use -inf as the sentinel; a row of fewer finite
+    entries can repeat an index where ``lax.top_k`` would not). Beam
+    logits are raw GEMM outputs, always finite.
+
+    x: [R, V] float; returns (values [R, k], indices [R, k] int32),
+    sorted descending per row.
+    """
+    iota = jnp.arange(x.shape[-1], dtype=jnp.int32)[None, :]
+    neg = jnp.array(-jnp.inf, x.dtype)
+    vals, idxs = [], []
+    y = x
+    for _ in range(k):
+        i = jnp.argmax(y, axis=-1).astype(jnp.int32)[..., None]
+        vals.append(jnp.take_along_axis(y, i, axis=-1))
+        idxs.append(i)
+        y = jnp.where(iota == i, neg, y)
+    return jnp.concatenate(vals, -1), jnp.concatenate(idxs, -1)

@@ -32,7 +32,8 @@ NEG_INF = -1e9
 def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
                      legacy_logit_scores: bool = False,
                      fused_vocab: bool = False,
-                     streams: int = 1):
+                     streams: int = 1,
+                     approx_topk: bool = False):
     """Build a jitted ``(params, batch) -> (tokens, scores)`` beam search.
 
     tokens: [B, k, c_len] int32 (beams sorted best-first);
@@ -52,6 +53,15 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
     stream A's VPU tail. Results are bit-identical to streams=1 (pinned by
     tests/test_tools.py); requires B % streams == 0 (falls back to 1
     otherwise).
+
+    ``approx_topk``: replace the per-step vocab ``lax.top_k`` with the
+    TPU PartialReduce custom call ``lax.approx_max_k`` (recall_target
+    0.99). APPROXIMATE: ~1% of per-row top-k entries may be swapped for
+    near-rank neighbors, so decoded captions can differ from the exact
+    path on a small fraction of images — an opt-in serving trade
+    (measured at the serving shape: the top-k line drops 8.6 -> 6.9 ms
+    bf16, scripts/profile_topk.py 2026-08-19). Ignored when
+    ``fused_vocab`` is set (that kernel keeps its exact running top-k).
     """
     generator = model.generator
     assert generator is not None, "model has no caption generator"
@@ -147,9 +157,14 @@ def make_beam_search(model, k: int, c_len: int, start_id: int, end_id: int,
             else:
                 h, logits, _ = _decode_step(params, v, v_mean_b, prev, h,
                                             att_cache)
-                # lax.top_k measured fastest here: the two-stage group-max
-                # alternative (ops/topk.py) loses on TPU — see its docstring
-                top_val, top_word = jax.lax.top_k(logits, k)   # [B*k, k]
+                # lax.top_k measured fastest among EXACT variants: the
+                # two-stage group-max and argmax+mask alternatives
+                # (ops/topk.py) both lose on TPU — see that docstring
+                if approx_topk:
+                    top_val, top_word = jax.lax.approx_max_k(
+                        logits, k, recall_target=0.99)         # [B*k, k]
+                else:
+                    top_val, top_word = jax.lax.top_k(logits, k)
                 if legacy_logit_scores:
                     step_scores = top_val
                 else:
