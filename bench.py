@@ -32,8 +32,8 @@ the structure is now guaranteed-result-first):
                   two SHORT tries (120/150 s) instead of one long one:
                   window quality is roulette (the same cached graph
                   compiled in 5.8 s and stalled past 240 s minutes
-                  apart), and attempts cost ~3 s of staging now that
-                  params load from a disk npz. Its number is held.
+                  apart), and a warm attempt is one cached staging
+                  compile + one dispatch. Its number is held.
   2. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
                   streaming Pallas GRU kernel (892k q/s measured r4,
                   REPS=16). Its compile through the relay is the variable
@@ -72,16 +72,22 @@ Measurement notes:
   through the relay, so fetches are the only reliable completion signal;
   queueing multiple executions before a fetch can hang the relay, so the
   loop is strictly serial.)
-- Inputs are staged in HBM outside the loop, generated on-device by a small
-  jitted producer (uploading them would take minutes: the harness tunnel's
-  host->device bandwidth (~130 MB/s) is two orders of magnitude below a real
-  v5e host link). Including per-batch feature upload would benchmark the
-  test tunnel, not the chip; the production feed path (packed shards ->
-  prefetch loader -> device_put) is exercised in tests and main.py instead.
-- Model params are initialized ONCE in a CPU-only child and cached to
-  ``.bench_params.npz``: on-relay ``model.init`` costs ~30-35 s per child
-  (every init op pays the relay dispatch cost) vs ~0.5 s to upload the
-  cached tree — that headroom buys extra retry rungs in a stalled window.
+- Inputs AND params are staged in HBM outside the loop, generated on-device
+  by ONE jitted producer (``stage``: params init + both input batches, one
+  compile + one dispatch + a scalar fetch). Uploading them would take
+  minutes: the harness tunnel's host->device bandwidth is two orders of
+  magnitude below a real v5e host link and drops to ~1 MB/s in bad windows —
+  the earlier params-npz design (init once on CPU, upload ~50 MB per child)
+  measured 61 s for the upload alone in such a window. Including per-batch
+  feature upload would benchmark the test tunnel, not the chip; the
+  production feed path (packed shards -> prefetch loader -> device_put) is
+  exercised in tests and main.py instead.
+- If NOTHING lands inside the self-deadline, the parent does not exit
+  empty-handed (the r3 failure): it keeps rolling cheap bounded medium/safe
+  attempts (overtime, capped at VQA_BENCH_OVERTIME_S) until one lands or the
+  driver's own window kills it — relay windows stall and recover on a
+  minutes scale (a fully-dead 14-minute window was observed 2026-08-20
+  minutes after a clean run), so patience is strictly better than rc=1.
 """
 
 from __future__ import annotations
@@ -113,6 +119,10 @@ REPS = int(os.environ.get("VQA_BENCH_REPS", 16))
 # margin for interpreter startup and the final emit.
 DEADLINE_S = float(os.environ.get("VQA_BENCH_DEADLINE_S", 460))
 EMIT_MARGIN_S = 20.0    # reserved for parent bookkeeping + final emit
+# If the deadline expires with NO result, keep rolling cheap bounded
+# attempts until this much total wall has passed (or the driver kills us —
+# which captures nothing either way, so overtime risks nothing).
+OVERTIME_S = float(os.environ.get("VQA_BENCH_OVERTIME_S", 1800))
 # Minimum budget worth even starting a config attempt (subprocess startup +
 # JAX import is ~25 s through this container; a compile needs real time).
 MIN_ATTEMPT_S = {"safe": 90.0, "fast": 150.0, "medium": 120.0,
@@ -124,16 +134,7 @@ NUM_OBJS = 36
 V_DIM = 2048
 Q_LEN = 10
 
-# Initializing the model on the axon backend costs ~30-35 s per child (every
-# init op pays the relay's fixed dispatch cost), so params are initialized
-# ONCE in a CPU-only child and cached to disk; benchmark children load the
-# npz and upload ~60 MB through the tunnel (~0.5 s) instead. Values are
-# identical (threefry init is platform-deterministic) and the param tree is
-# feed-independent (dense/bf16/int8 feeds share one structure — tested).
 _HERE = os.path.dirname(os.path.abspath(__file__))
-PARAMS_NPZ = os.path.join(_HERE, ".bench_params.npz")
-MODEL_SIG = (f"base/base/none:{NTOKEN}x{V_DIM}x300x1024x512x{ANS_DIM}"
-             ":clen20:att-new:v1")
 
 T0 = time.monotonic()
 
@@ -153,60 +154,6 @@ def _build_model(use_pallas: bool):
         att_type="new", use_pallas=use_pallas)
 
 
-def _init_batch() -> dict:
-    # init only fixes param SHAPES; the dense feed's tree is identical to
-    # the int8 feed's (tested), so one batch structure serves every config
-    rng = np.random.default_rng(0)
-    return {"q": np.zeros((32, Q_LEN), np.int32),
-            "img": rng.standard_normal((32, NUM_OBJS, V_DIM)
-                                       ).astype(np.float32)}
-
-
-def _flatten(tree: dict, prefix: str = "", out: dict | None = None) -> dict:
-    out = {} if out is None else out
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            _flatten(v, prefix + k + "/", out)
-        else:
-            out[prefix + k] = np.asarray(v)
-    return out
-
-
-def _unflatten(flat: dict) -> dict:
-    tree: dict = {}
-    for k, v in flat.items():
-        node = tree
-        *parents, leaf = k.split("/")
-        for p in parents:
-            node = node.setdefault(p, {})
-        node[leaf] = v
-    return tree
-
-
-def make_params() -> None:
-    """CPU-only child: initialize the benchmark model once, cache to disk."""
-    import jax
-    jax.config.update("jax_platforms", "cpu")  # must never touch the relay
-    model = _build_model(use_pallas=False)
-    params = model.init(jax.random.key(0), _init_batch())["params"]
-    flat = _flatten(jax.device_get(params))
-    tmp = PARAMS_NPZ + ".tmp.npz"  # np.savez appends .npz to bare names
-    np.savez(tmp, __sig__=np.array(MODEL_SIG), **flat)
-    os.replace(tmp, PARAMS_NPZ)
-    log(f"params cache written: {len(flat)} arrays, "
-        f"{os.path.getsize(PARAMS_NPZ) / 1e6:.1f} MB")
-
-
-def _cached_params_valid() -> bool:
-    if not os.path.exists(PARAMS_NPZ):
-        return False
-    try:
-        with np.load(PARAMS_NPZ) as z:
-            return str(z["__sig__"]) == MODEL_SIG
-    except Exception:
-        return False
-
-
 def run_config(cfg: str) -> float:
     import jax
 
@@ -221,18 +168,22 @@ def run_config(cfg: str) -> float:
     log(f"child[{cfg}]: jax imported, devices={jax.devices()}")
     model = _build_model(use_pallas=(cfg != "safe"))
 
-    # Stage inputs ON DEVICE. Host generation + upload of the feature
-    # tensors (4.8 GB/batch in f32) costs minutes of numpy time plus
-    # minutes of tunnel time (~130 MB/s) and blew the round-4 staging
-    # probe's budget; a small jitted producer generates them in HBM from a
-    # PRNG key instead (the only upload is the key). The fast config's
-    # quantization matches data/shards.quantize_features (symmetric
-    # per-box absmax/127) so the encoder sees the production int8 feed:
-    # int8 payload + bf16 scales + lazy-v pooling (models/encoder.py
-    # lazy_v) measured 22.9 ms/call vs 31.5 materialized and 33.4 dense
-    # bf16, and beats running the GEMM itself in int8 (PERF.md "int8 MXU").
-    @jax.jit
-    def make_batch(key):
+    # Stage EVERYTHING on device in one jitted producer: params init + both
+    # rotating input batches, one compile + one dispatch + a scalar fetch.
+    # Host generation + upload would cost minutes of tunnel time (~130 MB/s
+    # good windows, ~1 MB/s bad ones — the earlier params-npz design paid
+    # 61 s for its ~50 MB upload in one such window); the only upload here
+    # is a PRNG key. Params init uses the use_pallas=False twin — the param
+    # tree is identical (routing flags add no params — tested) and the
+    # stage graph stays pure XLA. The fast config's quantization matches
+    # data/shards.quantize_features (symmetric per-box absmax/127) so the
+    # encoder sees the production int8 feed: int8 payload + bf16 scales +
+    # lazy-v pooling (models/encoder.py lazy_v) measured 22.9 ms/call vs
+    # 31.5 materialized and 33.4 dense bf16, and beats running the GEMM
+    # itself in int8 (PERF.md "int8 MXU").
+    init_model = model if cfg == "safe" else _build_model(use_pallas=False)
+
+    def _make_batch(key):
         kq, kx = jax.random.split(key)
         q = jax.random.randint(kq, (BATCH_SIZE, Q_LEN), 0, NTOKEN,
                                dtype=jnp.int32)
@@ -248,46 +199,31 @@ def run_config(cfg: str) -> float:
             b["img"] = x.astype(jnp.bfloat16)
         else:
             b["img"] = x
-        # tiny data-dependent completion token: fetching it proves this
-        # execution finished, so staging never queues two executions
-        # before a fetch (the documented relay-hang trigger)
         return b, q.sum()
 
+    @jax.jit
+    def stage(key):
+        kp, k0, k1 = jax.random.split(key, 3)
+        dummy = {"q": jnp.zeros((32, Q_LEN), jnp.int32),
+                 "img": jnp.zeros((32, NUM_OBJS, V_DIM), jnp.float32)}
+        params = init_model.init(kp, dummy)["params"]
+        if cfg != "safe":
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+        b0, tok0 = _make_batch(k0)
+        b1, tok1 = _make_batch(k1)
+        # tiny data-dependent completion token: fetching it proves this
+        # execution finished, so staging never queues a second execution
+        # before a fetch (the documented relay-hang trigger)
+        return params, b0, b1, tok0 + tok1
+
     t = time.monotonic()
-    batches = []
-    for i in range(2):  # rotate distinct device-resident batches
-        b, done = make_batch(jax.random.key(i))
-        np.asarray(done)  # serialize: one in-flight execution at a time
-        batches.append(b)
-    log(f"child[{cfg}]: device-side staging done "
-        f"in {time.monotonic() - t:.1f}s")
-    # Params come from the disk cache when present: model.init on the axon
-    # backend costs ~30-35 s/child (every init op pays the relay dispatch
-    # cost), vs ~0.5 s to upload the cached tree through the tunnel. The
-    # bf16 cast happens host-side (ml_dtypes) so the device never sees the
-    # f32 masters. Falls back to on-backend init if the cache is missing
-    # or stale (then refreshes it, best-effort).
-    if _cached_params_valid():
-        with np.load(PARAMS_NPZ) as z:
-            params = _unflatten(
-                {k: z[k] for k in z.files if k != "__sig__"})
-        log(f"child[{cfg}]: params loaded from cache")
-    else:
-        log(f"child[{cfg}]: no valid params cache; initializing on-backend")
-        params = jax.device_get(
-            model.init(jax.random.key(0), _init_batch())["params"])
-        try:
-            tmp = PARAMS_NPZ + ".tmp.npz"
-            np.savez(tmp, __sig__=np.array(MODEL_SIG), **_flatten(params))
-            os.replace(tmp, PARAMS_NPZ)
-        except OSError as e:
-            log(f"child[{cfg}]: params cache write failed ({e})")
-    if cfg != "safe":
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == np.float32 else x, params)
-    params = jax.device_put(params)
-    log(f"child[{cfg}]: inputs staged, starting compile")
+    params, b0, b1, done = stage(jax.random.key(0))
+    np.asarray(done)  # serialize: one in-flight execution at a time
+    batches = [b0, b1]
+    log(f"child[{cfg}]: on-device staging (params + 2 batches) done "
+        f"in {time.monotonic() - t:.1f}s; starting measure compile")
 
     # REPS forwards are chained inside one jit with a data dependency (each
     # iteration's predicted ids perturb the next iteration's question
@@ -383,34 +319,7 @@ def attempt(cfg: str, budget_s: float) -> float | None:
     return None
 
 
-def ensure_params_cache() -> None:
-    """Generate the shared params npz in a CPU-only child if absent.
-
-    ~20-30 s once (jax import dominates on this 1-core host), then every
-    benchmark child saves its ~30-35 s on-relay init — net positive from
-    the second attempt of the first run, and free on every later run.
-    Failure is non-fatal: children fall back to on-backend init.
-    """
-    if _cached_params_valid():
-        return
-    log("generating params cache (cpu-only child)")
-    env = dict(os.environ, VQA_BENCH_MAKE_PARAMS="1",
-               VQA_BENCH_PLATFORM="cpu",
-               PYTHONPATH=_HERE + os.pathsep + os.environ.get(
-                   "PYTHONPATH", ""))
-    try:
-        # stdout swallowed: the parent's stdout is the ONE-JSON-line channel
-        subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env, timeout=150, check=False,
-                       stdout=subprocess.DEVNULL)
-    except subprocess.TimeoutExpired:
-        log("params-cache child timed out; children will init on-backend")
-
-
 def main():
-    if os.environ.get("VQA_BENCH_MAKE_PARAMS"):
-        make_params()
-        return
     cfg = os.environ.get("VQA_BENCH_CONFIG", "")
     if cfg:  # child process: run one configuration and print the raw qps
         print(f"QPS {run_config(cfg):.1f}", flush=True)
@@ -420,16 +329,16 @@ def main():
         return DEADLINE_S - (time.monotonic() - T0) - EMIT_MARGIN_S
 
     best: tuple[float, str] | None = None
-    ensure_params_cache()
 
     # Window quality is roulette: the SAME cached medium graph compiled in
     # 5.8 s and stalled past 240 s within minutes of each other
-    # (2026-08-19). With staging now ~3 s/child (params npz + serialized
-    # on-device batch gen), attempts are cheap — so when the compilation
-    # cache already holds infer_chain graphs, run SHORT watchdogs with a
-    # retry instead of one long try: two bounded tries survive one stalled
-    # window at the same total budget. A cold cache gets one long try (a
-    # killed compile writes nothing, so restarts don't accumulate).
+    # (2026-08-19); a fully-dead 14-minute window followed a clean run by
+    # minutes (2026-08-20). Staging is one cached compile + one dispatch,
+    # so attempts are cheap — when the compilation cache already holds
+    # infer_chain graphs, run SHORT watchdogs with a retry instead of one
+    # long try: two bounded tries survive one stalled window at the same
+    # total budget. A cold cache gets one long try (a killed compile
+    # writes nothing, so restarts don't accumulate).
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.join(_HERE, ".jax_cache"))
     warm = os.path.isdir(cache_dir) and any(
@@ -437,8 +346,12 @@ def main():
     log(f"compilation cache {'warm' if warm else 'cold'} at {cache_dir}")
 
     # Rung 1: medium first — the bf16+Pallas graph worth 1.55x the f32
-    # rate; r4 it landed 4/4 while f32 safe stalled 2/4.
-    for i, watchdog in enumerate((120.0, 150.0) if warm else (240.0,)):
+    # rate; r4 it landed 4/4 while f32 safe stalled 2/4. 150 s tries, not
+    # 120: "warm" is detected from infer_chain cache entries, but the
+    # STAGE graph can still be cold (measured 2026-08-20: import ~25 s +
+    # cold stage compile ~98 s + measure ~10 s = ~131 s — a 120 s try
+    # loses a child that was about to land).
+    for i, watchdog in enumerate((150.0, 150.0) if warm else (240.0,)):
         # the FIRST try always gets its MIN floor even when the deadline
         # is already blown — something must be attempted (the r3 lesson);
         # only the retry is conditional on time actually remaining
@@ -489,6 +402,21 @@ def main():
             if remaining() < MIN_ATTEMPT_S[cfg]:
                 continue
             qps = attempt(cfg, remaining())
+            if qps:
+                best = (qps, cfg)
+                break
+
+    # Overtime: the deadline is for trading rungs against each other, not
+    # for giving up. If NOTHING landed (a fully-stalled relay window), keep
+    # rolling cheap bounded medium/safe attempts until something lands or
+    # OVERTIME_S total wall passes — if the driver's window is longer than
+    # our deadline this can still capture a number, and if the driver kills
+    # us mid-attempt we are exactly where rc=1 would have left us.
+    while (not best
+           and time.monotonic() - T0 < min(OVERTIME_S, 6 * DEADLINE_S)):
+        log("overtime: nothing landed yet; re-rolling bounded attempts")
+        for cfg in ("medium", "safe"):
+            qps = attempt(cfg, 150.0)
             if qps:
                 best = (qps, cfg)
                 break
