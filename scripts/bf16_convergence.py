@@ -1,4 +1,4 @@
-"""Numerics-variant convergence study (VERDICT r1 item 6; extended r4).
+"""Numerics-variant convergence study (VERDICT r1 item 6; extended r4/r5).
 
 Trains the Up-Down VQA+caption MTL model on the synthetic mini-split with
 identical seeds and data order under each numerics variant —
@@ -13,9 +13,18 @@ CPU (the study is about numerics, not speed). Results are recorded in
 PERF.md "bf16 training" — step-parity tests pin per-step agreement, this
 pins that the variants *converge* alike over a long horizon.
 
+``--decoder butd`` (round 5, VERDICT r4 item 3) runs the SAME study
+through the shipping MTL decode path: the BUTD decoder with
+MultiplyAttention, whose teacher-forcing scan trains through the
+hand-written custom-VJP backward (ops/decode_scan.py) — including, in the
+int8feed variant, the factored-v int8 scan. The script asserts the
+custom-VJP scan was actually constructed (no silent fallback to nn.scan),
+so the trajectories certify the most hand-derived math in the repo at
+convergence horizon, not just step parity (tests/test_models.py).
+
 Usage:
   PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/bf16_convergence.py \
-      [--steps 600]
+      [--steps 600] [--decoder base|butd]
 """
 
 import argparse
@@ -51,7 +60,8 @@ def _int8_feed(batch):
     return out
 
 
-def run(variant: str, root: str, paths: dict, steps: int) -> dict:
+def run(variant: str, root: str, paths: dict, steps: int,
+        decoder: str = "base") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -61,12 +71,27 @@ def run(variant: str, root: str, paths: dict, steps: int) -> dict:
                      caption_id_path=paths["select_path"],
                      dataset_type="vqa-e", is_train=True)
     loader = Loader(ds, BATCH, shuffle=True, seed=7, prefetch=0)
+    # butd: the shipping MTL decode path — BUTD + MultiplyAttention
+    # ("new"), which trains through the custom-VJP teacher-forcing scan
+    # (ops/decode_scan.py; factored-v int8 route under the int8 feed)
     model = set_model(encoder_type="base", predictor_type="base",
-                      decoder_type="base", ntoken=paths["ntoken"],
+                      decoder_type=decoder, ntoken=paths["ntoken"],
                       v_dim=paths["v_dim"], embed_dim=16,
                       hidden_dim=64, decoder_hidden_dim=64,
                       ans_dim=paths["ans_dim"], c_len=paths["c_len"],
+                      att_type="new" if decoder == "butd" else "base",
                       use_mtl=True)
+    fused_calls = [0]
+    if decoder == "butd":
+        # certify the fused custom-VJP scan is the path actually traced
+        # (it would silently fall back to nn.scan if its guards failed)
+        from vqa_tpu.ops import decode_scan as _ds
+        _orig = _ds.make_butd_caption_scan
+
+        def _counting(*a, **k):
+            fused_calls[0] += 1
+            return _orig(*a, **k)
+        _ds.make_butd_caption_scan = _counting
     tx = optim_lib.make_optimizer(lr=2e-3, max_norm=0.25,
                                   steps_per_epoch=len(loader))
     sample = None
@@ -80,13 +105,21 @@ def run(variant: str, root: str, paths: dict, steps: int) -> dict:
     step = make_train_step(model, tx, compute_dtype=compute_dtype)
 
     losses, i = [], 0
-    while i < steps:
-        for b in loader:
-            if i >= steps:
-                break
-            state, metrics = step(state, feed(model_batch(b)))
-            losses.append(float(metrics["loss"]))
-            i += 1
+    try:
+        while i < steps:
+            for b in loader:
+                if i >= steps:
+                    break
+                state, metrics = step(state, feed(model_batch(b)))
+                losses.append(float(metrics["loss"]))
+                i += 1
+    finally:
+        if decoder == "butd":
+            _ds.make_butd_caption_scan = _orig
+    if decoder == "butd":
+        assert fused_calls[0] > 0, (
+            "BUTD study requested but the custom-VJP scan was never "
+            "constructed — the fused path silently fell back to nn.scan")
     # quick train-split VQA score with the final params (greedy argmax),
     # always evaluated on the dense feed so the score is comparable
     eval_step = make_eval_step(model)
@@ -98,7 +131,8 @@ def run(variant: str, root: str, paths: dict, steps: int) -> dict:
         n += nvalid
     dtypes = {str(x.dtype) for x in jax.tree_util.tree_leaves(state.params)}
     return {"variant": variant, "losses": losses,
-            "final_score": score / n, "param_dtypes": sorted(dtypes)}
+            "final_score": score / n, "param_dtypes": sorted(dtypes),
+            "fused_scan_traces": fused_calls[0]}
 
 
 def main():
@@ -106,6 +140,11 @@ def main():
     parser.add_argument("--steps", type=int, default=600,
                         help="training steps per variant (600 = ~75 epochs "
                              "of the mini-split: the long-horizon study)")
+    parser.add_argument("--decoder", choices=("base", "butd"),
+                        default="base",
+                        help="butd = the shipping MTL decode path: BUTD + "
+                             "MultiplyAttention through the custom-VJP "
+                             "teacher-forcing scan (ops/decode_scan.py)")
     args = parser.parse_args()
     steps = args.steps
 
@@ -113,7 +152,7 @@ def main():
         paths = make_synthetic_root(root, num_images=16, num_questions=256,
                                     num_objs=6, v_dim=32, vocab_size=40,
                                     num_answers=12, seed=3)
-        runs = [run(v, root, paths, steps)
+        runs = [run(v, root, paths, steps, decoder=args.decoder)
                 for v in ("f32", "bf16", "int8feed-bf16")]
 
     r32, r16, rq8 = runs
@@ -130,9 +169,12 @@ def main():
 
     print(json.dumps({
         "steps": steps,
+        "decoder": args.decoder,
         "final_loss": {r["variant"]: r["losses"][-1] for r in runs},
         "final_score": {r["variant"]: r["final_score"] for r in runs},
         "bf16_param_dtypes": r16["param_dtypes"],
+        "fused_scan_traces": {r["variant"]: r["fused_scan_traces"]
+                              for r in runs},
         "mean_rel_loss_gap_last20": {
             "bf16_vs_f32": gap(r32["losses"], r16["losses"]),
             "int8feed_vs_f32": gap(r32["losses"], rq8["losses"]),

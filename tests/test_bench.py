@@ -45,6 +45,34 @@ def test_bench_ladder_emits_one_json_line():
     assert "attempting config 'medium'" in proc.stderr
 
 
+def test_bench_fast32_shaped_staging_lands():
+    """The r4 driver fast32 rung OOMed HBM because the staging producer
+    held two dense f32 feature temps live at once (BENCH_r04 tail);
+    staging now generates+quantizes in sequential lax.map chunks. Pin the
+    B=32768-shaped fast-config child end-to-end on CPU with tiny model
+    dims: the batch axis (and so the chunk count and the chunked
+    reshape) is exactly the driver's fast32 shape."""
+    env = dict(
+        os.environ,
+        VQA_BENCH_CONFIG="fast",
+        VQA_BENCH_PLATFORM="cpu",
+        VQA_BENCH_BATCH="32768",
+        VQA_BENCH_NTOKEN="50", VQA_BENCH_ANS="16", VQA_BENCH_OBJS="4",
+        VQA_BENCH_VDIM="16", VQA_BENCH_QLEN="3", VQA_BENCH_EMBED="8",
+        VQA_BENCH_HIDDEN="16",
+        VQA_BENCH_ITERS="1", VQA_BENCH_REPS="2",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    qps_lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("QPS ")]
+    assert len(qps_lines) == 1 and float(qps_lines[0].split()[1]) > 0
+    assert "on-device staging" in proc.stderr
+
+
 def test_bench_tiny_deadline_still_lands():
     """Even with an exhausted deadline the safe rung gets its MIN_ATTEMPT
     floor and a number is emitted — the r3 nothing-emitted failure mode
