@@ -53,10 +53,13 @@ the structure is now guaranteed-result-first):
                   result. Its r4 driver failure mode — the staging
                   producer held TWO f32 [32768, 36, 2048] (~9.7 GB)
                   feature temps live at once and OOMed v5e HBM
-                  (BENCH_r04 tail) — is fixed: features are generated +
-                  quantized in N_GEN_CHUNKS sequential lax.map chunks,
-                  bounding the f32 staging temp to ~1.2 GB (peak staging
-                  footprint ~6.5 GB at B=32768, measured-safe margin).
+                  (BENCH_r04 tail) — is fixed: above _DENSE_TEMP_LIMIT
+                  the producer generates the int8 feed DIRECTLY in its
+                  final dtype (uint8 bits + uniform scales; no f32
+                  temps at all, peak staging ~5 GB at B=32768), and the
+                  tiny elementwise graph also compiles fast through the
+                  relay (a chunked lax.map variant measured an 895 s
+                  stage compile — rejected).
   4. ``safe``   — f32 XLA (345k q/s r4). The safety net: a different
                   graph and failure surface, rolled (then medium again,
                   bounded) only if nothing has landed.
@@ -161,12 +164,21 @@ Q_LEN = int(os.environ.get("VQA_BENCH_QLEN", 10))
 EMBED_DIM = int(os.environ.get("VQA_BENCH_EMBED", 300))
 HIDDEN_DIM = int(os.environ.get("VQA_BENCH_HIDDEN", 1024))
 
-# Sequential feature-generation chunks per staged batch: bounds the f32
-# staging temp to (B/N) x 36 x 2048 x 4 B. Dense generation held TWO
-# ~9.7 GB f32 temps live inside one producer at B=32768 and OOMed v5e
-# HBM in the r4 driver run (BENCH_r04 tail); at N=8 the peak staging
-# footprint is ~6.5 GB (two int8 batches + one 1.2 GB f32 chunk + params).
-N_GEN_CHUNKS = int(os.environ.get("VQA_BENCH_GEN_CHUNKS", 8))
+# Staging-producer HBM guard. Dense generation draws f32 features and
+# converts them to the config's feed dtype — which held TWO ~9.7 GB f32
+# temps live inside one producer at B=32768 and OOMed v5e HBM in the r4
+# driver run (BENCH_r04 tail; the absmax reduce forces the f32 tensor to
+# materialize). Above _DENSE_TEMP_LIMIT the producer instead generates
+# the feed DIRECTLY in its final dtype (int8 payload from raw uint8
+# bits + uniform scales; bf16 normal) — zero f32 temps at any batch, a
+# strictly smaller graph (a chunked lax.map variant measured an 895 s
+# stage compile through the relay, 2026-08-20 — rejected), and an
+# identical consumer-side workload (same shapes/dtypes/FLOPs; synthetic
+# VALUES don't change throughput). Below the limit the r4-proven dense
+# graph is kept — its compile cache entries are already warm.
+# Env-overridable so the CPU tests can force the direct branch at tiny
+# dims; 2 f32 batches at B=16384 = 9.7 GB fit a 16 GB v5e.
+_DENSE_TEMP_LIMIT = float(os.environ.get("VQA_BENCH_DENSE_LIMIT", 12e9))
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -222,37 +234,41 @@ def run_config(cfg: str) -> float:
         q = jax.random.randint(kq, (BATCH_SIZE, Q_LEN), 0, NTOKEN,
                                dtype=jnp.int32)
         b = {"q": q}
-        if cfg == "safe":
-            # the f32 feed IS the output tensor — chunking buys nothing
-            b["img"] = jax.random.normal(kx, (BATCH_SIZE, NUM_OBJS, V_DIM),
-                                         dtype=jnp.float32)
-            return b, q.sum()
-        # fast/medium: the f32 source tensor is only a staging TEMP (the
-        # feed is int8/bf16), so generate + convert it in sequential
-        # lax.map chunks — at B=32768 a dense f32 temp is ~9.7 GB and two
-        # of them OOMed HBM in the r4 driver run (BENCH_r04 tail)
-        n = N_GEN_CHUNKS if BATCH_SIZE % N_GEN_CHUNKS == 0 else 1
-        keys = jax.random.split(kx, n)
-        if cfg == "fast":
-            # production int8 feed: symmetric per-box absmax/127, matching
-            # data/shards.quantize_features
-            def gen(k):
-                x = jax.random.normal(
-                    k, (BATCH_SIZE // n, NUM_OBJS, V_DIM), jnp.float32)
+        dense_bytes = 2 * BATCH_SIZE * NUM_OBJS * V_DIM * 4
+        if cfg == "safe" or dense_bytes <= _DENSE_TEMP_LIMIT:
+            # safe: the f32 feed IS the output tensor — nothing to save.
+            # fast/medium below the limit: keep the r4-proven dense
+            # producer graph (+ its warm cache entries). The fast
+            # quantization matches data/shards.quantize_features
+            # (symmetric per-box absmax/127), so the encoder sees the
+            # production int8 feed.
+            x = jax.random.normal(kx, (BATCH_SIZE, NUM_OBJS, V_DIM),
+                                  dtype=jnp.float32)
+            if cfg == "fast":
                 scales = jnp.maximum(jnp.abs(x).max(axis=-1) / 127.0, 1e-8)
-                xq = jnp.clip(jnp.rint(x / scales[..., None]),
-                              -127, 127).astype(jnp.int8)
-                return xq, scales.astype(jnp.bfloat16)
-            xq, sc = jax.lax.map(gen, keys)
-            b["img_q"] = xq.reshape(BATCH_SIZE, NUM_OBJS, V_DIM)
-            b["img_scale"] = sc.reshape(BATCH_SIZE, NUM_OBJS)
-        else:  # medium: dense bf16 feed
-            def gen(k):
-                return jax.random.normal(
-                    k, (BATCH_SIZE // n, NUM_OBJS, V_DIM),
-                    jnp.float32).astype(jnp.bfloat16)
-            b["img"] = jax.lax.map(gen, keys).reshape(
-                BATCH_SIZE, NUM_OBJS, V_DIM)
+                b["img_q"] = jnp.clip(jnp.rint(x / scales[..., None]),
+                                      -127, 127).astype(jnp.int8)
+                b["img_scale"] = scales.astype(jnp.bfloat16)
+            elif cfg == "medium":
+                b["img"] = x.astype(jnp.bfloat16)
+            else:
+                b["img"] = x
+            return b, q.sum()
+        # fast32-scale batches: generate the feed directly in its final
+        # dtype — no f32 temps at any batch size (see _DENSE_TEMP_LIMIT)
+        ks, kb = jax.random.split(kx)
+        if cfg == "fast":
+            bits = jax.random.bits(kb, (BATCH_SIZE, NUM_OBJS, V_DIM),
+                                   jnp.uint8)
+            b["img_q"] = jnp.clip(
+                jax.lax.bitcast_convert_type(bits, jnp.int8), -127, 127)
+            # absmax/127 of unit-normal features lands ~[2.5, 4.5]/127
+            b["img_scale"] = jax.random.uniform(
+                ks, (BATCH_SIZE, NUM_OBJS), jnp.bfloat16,
+                minval=2.5 / 127, maxval=4.5 / 127)
+        else:  # medium: dense bf16 feed, drawn in bf16
+            b["img"] = jax.random.normal(
+                kb, (BATCH_SIZE, NUM_OBJS, V_DIM), jnp.bfloat16)
         return b, q.sum()
 
     @jax.jit

@@ -48,10 +48,10 @@ def test_bench_ladder_emits_one_json_line():
 def test_bench_fast32_shaped_staging_lands():
     """The r4 driver fast32 rung OOMed HBM because the staging producer
     held two dense f32 feature temps live at once (BENCH_r04 tail);
-    staging now generates+quantizes in sequential lax.map chunks. Pin the
-    B=32768-shaped fast-config child end-to-end on CPU with tiny model
-    dims: the batch axis (and so the chunk count and the chunked
-    reshape) is exactly the driver's fast32 shape."""
+    above the HBM guard the producer now generates the int8 feed
+    directly in its final dtype (no f32 temps). Pin the B=32768-shaped
+    fast-config child end-to-end on CPU with tiny model dims: the batch
+    axis is exactly the driver's fast32 shape."""
     env = dict(
         os.environ,
         VQA_BENCH_CONFIG="fast",
@@ -61,6 +61,9 @@ def test_bench_fast32_shaped_staging_lands():
         VQA_BENCH_VDIM="16", VQA_BENCH_QLEN="3", VQA_BENCH_EMBED="8",
         VQA_BENCH_HIDDEN="16",
         VQA_BENCH_ITERS="1", VQA_BENCH_REPS="2",
+        # force the direct-dtype staging branch despite the tiny dims (on
+        # the chip it engages by size: two dense f32 temps > the HBM limit)
+        VQA_BENCH_DENSE_LIMIT="1",
         PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
     proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
