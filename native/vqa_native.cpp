@@ -25,6 +25,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef __F16C__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- threading
@@ -50,8 +54,12 @@ void parallel_for(int64_t n, int n_threads, Fn&& fn) {
   for (auto& th : threads) th.join();
 }
 
-// IEEE 754 half -> float (scalar; compilers vectorize the loop body well
-// enough for a memory-bound gather).
+// IEEE 754 half -> float. Scalar fallback below; the gather uses the
+// F16C hardware converter when the build target has it (VCVTPH2PS is
+// bit-exact IEEE incl. subnormals/inf/nan) — the scalar path's subnormal
+// branch defeats auto-vectorization and measured only ~1.9 GB/s of
+// widened output on one core vs ~4 GB/s for raw memcpy gathers
+// (scripts/bench_feed.py, PERF.md "Feed economics").
 inline float half_to_float(uint16_t h) {
   uint32_t sign = static_cast<uint32_t>(h & 0x8000u) << 16;
   uint32_t exp = (h >> 10) & 0x1Fu;
@@ -99,7 +107,14 @@ void gather_rows_f16_to_f32(const uint16_t* src, const int64_t* rows,
   parallel_for(n_rows, n_threads, [&](int64_t i) {
     const uint16_t* in = src + rows[i] * row_elems;
     float* out = dst + i * row_elems;
-    for (int64_t j = 0; j < row_elems; ++j) out[j] = half_to_float(in[j]);
+    int64_t j = 0;
+#ifdef __F16C__
+    for (; j + 8 <= row_elems; j += 8) {
+      __m128i h = _mm_loadu_si128(reinterpret_cast<const __m128i*>(in + j));
+      _mm256_storeu_ps(out + j, _mm256_cvtph_ps(h));
+    }
+#endif
+    for (; j < row_elems; ++j) out[j] = half_to_float(in[j]);
   });
 }
 
