@@ -147,6 +147,11 @@ EMIT_MARGIN_S = 20.0    # reserved for parent bookkeeping + final emit
 # spin for 30 min — setting this env var above 6*DEADLINE_S therefore
 # requires raising VQA_BENCH_DEADLINE_S too.
 OVERTIME_S = float(os.environ.get("VQA_BENCH_OVERTIME_S", 1800))
+# Backoff between overtime attempts that died quickly without a QPS line
+# (import/relay-connect crash): gives a flaky window time to recover and
+# stops back-to-back respawns. Env-tunable only so the crash-bailout
+# regression test doesn't have to sleep real minutes.
+BACKOFF_S = float(os.environ.get("VQA_BENCH_BACKOFF_S", 60))
 # Minimum budget worth even starting a config attempt (subprocess startup +
 # JAX import is ~25 s through this container; a compile needs real time).
 MIN_ATTEMPT_S = {"safe": 90.0, "fast": 150.0, "medium": 120.0,
@@ -507,8 +512,9 @@ def main():
                 quick_fails += 1
                 log(f"overtime '{cfg}' died in "
                     f"{time.monotonic() - t_at:.0f}s without a QPS line "
-                    f"({quick_fails}/4 quick failures); backing off 60s")
-                time.sleep(60.0)
+                    f"({quick_fails}/4 quick failures); backing off "
+                    f"{BACKOFF_S:.0f}s")
+                time.sleep(BACKOFF_S)
                 break  # re-check the bail bound before spawning again
             quick_fails = 0
 

@@ -23,8 +23,8 @@ def _run_bench(env_extra, timeout=600):
         VQA_BENCH_ITERS="2",
         VQA_BENCH_REPS="2",
         PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-        **env_extra,
     )
+    env.update(env_extra)
     return subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                           env=env, capture_output=True, text=True,
                           timeout=timeout)
@@ -74,6 +74,26 @@ def test_bench_fast32_shaped_staging_lands():
                  if ln.startswith("QPS ")]
     assert len(qps_lines) == 1 and float(qps_lines[0].split()[1]) > 0
     assert "on-device staging" in proc.stderr
+
+
+def test_bench_overtime_quick_crash_bailout():
+    """ADVICE r4 (medium): overtime must NOT respawn back-to-back when
+    children die instantly without a QPS line (import/connect crash) —
+    it backs off and bails after 4 consecutive quick failures instead of
+    spinning for the whole overtime window. Children are poisoned with a
+    negative batch size (trace-time shape error, crashes in seconds)."""
+    proc = _run_bench({
+        "VQA_BENCH_BATCH": "-7",          # every child dies at trace time
+        "VQA_BENCH_DEADLINE_S": "40",     # rungs exhaust fast
+        "VQA_BENCH_OVERTIME_S": "600",    # overtime window is open...
+        "VQA_BENCH_BACKOFF_S": "1",       # ...but don't sleep real minutes
+    }, timeout=580)
+    assert proc.returncode == 1           # no number is obtainable
+    assert "quick failures" in proc.stderr
+    assert "backing off" in proc.stderr
+    # bounded: at most 4 quick-fail overtime rounds, then bail
+    assert proc.stderr.count("re-rolling bounded attempts") <= 4
+    assert "FAILED: no config produced a number" in proc.stderr
 
 
 def test_bench_tiny_deadline_still_lands():
