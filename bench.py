@@ -37,29 +37,33 @@ the structure is now guaranteed-result-first):
                   is detected from infer_chain cache entries and the
                   STAGE graph can still be cold (~98 s compile + ~25 s
                   import). Its number is held.
-  2. ``fast``   — int8 feature feed + bf16 params + lazy-v pooling + the
-                  streaming Pallas GRU kernel (892k q/s measured r4,
-                  REPS=16). Its compile through the relay is the variable
-                  one (62.7 s and 313.1 s observed for the SAME graph
-                  cold; 2.2 s with the persisted compilation cache warm),
-                  so it runs second, with the time actually left against
-                  a hard self-imposed deadline (VQA_BENCH_DEADLINE_S,
+  2. ``fast32`` — the int8-feed fast config at B=32768: since round 5
+                  the TOP rung by value (941.1k q/s, 37.6x, vs fast's
+                  890k in the same window). Its r4 driver failure mode —
+                  the staging producer held TWO f32 [32768, 36, 2048]
+                  (~9.7 GB) feature temps live at once and OOMed v5e
+                  HBM (BENCH_r04 tail) — is fixed: above
+                  _DENSE_TEMP_LIMIT the producer generates the int8
+                  feed DIRECTLY in its final dtype (uint8 bits +
+                  uniform scales; no f32 temps at all, peak staging
+                  ~5 GB at B=32768), and the tiny elementwise graph
+                  also compiles fast through the relay (51 s cold /
+                  ~2 s warm; a chunked lax.map variant measured an
+                  895 s stage compile — rejected). Runs only once
+                  medium's number is held, with a reserve left for a
+                  fast attempt; gets a second chance after fast if its
+                  slot stalled.
+  3. ``fast``   — the same economics at B=16384 (int8 feature feed +
+                  bf16 params + lazy-v pooling + the streaming Pallas
+                  GRU kernel; 890-892k q/s). Worth -4..6% vs fast32 in
+                  the same window, so it runs only when fast32 is not
+                  already held. Its compile through the relay is the
+                  variable one (62.7 s and 313.1 s observed for the
+                  SAME graph cold; 2.2 s warm), bounded against the
+                  hard self-imposed deadline (VQA_BENCH_DEADLINE_S,
                   default 460 s — the driver window is assumed to be as
-                  small as ~10 min total), minus a safety-net reserve if
-                  nothing has landed yet.
-  3. ``fast32`` — fast at B=32768 (932.7k q/s r4 session; historical
-                  compile hangs). Attempted ONLY after fast's number is
-                  already held: a hang burns leftover time, never the
-                  result. Its r4 driver failure mode — the staging
-                  producer held TWO f32 [32768, 36, 2048] (~9.7 GB)
-                  feature temps live at once and OOMed v5e HBM
-                  (BENCH_r04 tail) — is fixed: above _DENSE_TEMP_LIMIT
-                  the producer generates the int8 feed DIRECTLY in its
-                  final dtype (uint8 bits + uniform scales; no f32
-                  temps at all, peak staging ~5 GB at B=32768), and the
-                  tiny elementwise graph also compiles fast through the
-                  relay (a chunked lax.map variant measured an 895 s
-                  stage compile — rejected).
+                  small as ~10 min total), minus a safety-net reserve
+                  if nothing has landed yet.
   4. ``safe``   — f32 XLA (345k q/s r4). The safety net: a different
                   graph and failure surface, rolled (then medium again,
                   bounded) only if nothing has landed.
@@ -438,29 +442,46 @@ def main():
             best = (qps, "medium")
             break
 
-    # Rung 2: fast — bounded so one stall leaves room for fast32/safety
-    # net, minus a reserve when NOTHING has landed yet (fast's compile is
-    # the variable one: 62-313 s observed cold for the same graph, ~2 s
-    # warm).
-    for watchdog in ((240.0, 150.0) if warm else (300.0,)):
-        budget = min(watchdog, remaining() - (0.0 if best else 110.0))
-        if budget < MIN_ATTEMPT_S["fast"]:
-            log(f"skipping 'fast' config: only {remaining():.0f}s left")
-            break
-        qps = attempt("fast", budget)
-        if qps:
-            if not best or qps > best[0]:
-                best = (qps, "fast")
-            break
+    def fast32_ok() -> bool:
+        return ("VQA_BENCH_BATCH" not in os.environ           # default shape
+                and os.environ.get("VQA_BENCH_PLATFORM") != "cpu")
 
-    # Opportunistic top rung: fast at B=32768 measured +4.7% cross-window
-    # in r3 but its graph hung remote compile twice, so it runs ONLY once
-    # fast's number is already held — a hang burns leftover time, never
-    # the result.
-    if (best and best[1] == "fast"
-            and remaining() >= MIN_ATTEMPT_S["fast32"]
-            and "VQA_BENCH_BATCH" not in os.environ          # default shape
-            and os.environ.get("VQA_BENCH_PLATFORM") != "cpu"):
+    # Rung 2: fast32 — since round 5 the TOP-value rung (941.1k vs fast's
+    # 890k, same window) and usually the cheaper one: the direct-dtype
+    # stage killed the old staging OOM/compile pathology (~51 s cold /
+    # ~2 s warm, B=32768 infer graph cached), while fast's B=16384
+    # staging dispatch blew a 240 s watchdog in 2 of 3 ladder windows
+    # today. It still runs only once a number is already held (medium is
+    # the anchor) and with a reserve so a stall leaves room for a fast
+    # attempt.
+    if (best and remaining() - 110.0 >= MIN_ATTEMPT_S["fast32"]
+            and fast32_ok()):
+        qps = attempt("fast32", min(240.0, remaining() - 110.0))
+        if qps and qps > best[0]:
+            best = (qps, "fast32")
+
+    # Rung 3: fast — the B=16384 variant; worth -4..6% vs fast32 in the
+    # same window, so it runs only if fast32 is not already held. Bounded
+    # so one stall leaves room for the safety net, minus a reserve when
+    # NOTHING has landed yet (fast's compile is the variable one: 62-313 s
+    # observed cold for the same graph, ~2 s warm).
+    if not (best and best[1] == "fast32"):
+        for watchdog in ((240.0, 150.0) if warm else (300.0,)):
+            budget = min(watchdog, remaining() - (0.0 if best else 110.0))
+            if budget < MIN_ATTEMPT_S["fast"]:
+                log(f"skipping 'fast' config: only {remaining():.0f}s left")
+                break
+            qps = attempt("fast", budget)
+            if qps:
+                if not best or qps > best[0]:
+                    best = (qps, "fast")
+                break
+
+    # Second chance for the top rung: if fast32's own slot stalled (or
+    # medium had not landed yet) but a number is held and time remains,
+    # retry once — a hang burns leftover time, never the result.
+    if (best and best[1] != "fast32"
+            and remaining() >= MIN_ATTEMPT_S["fast32"] and fast32_ok()):
         qps = attempt("fast32", remaining())
         if qps and qps > best[0]:
             best = (qps, "fast32")
