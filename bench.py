@@ -21,8 +21,11 @@ deliberately the stricter bar). NOTE: the divisor is an honest estimate,
 not a measurement of the reference on a GPU. vs_baseline =
 value / (5 * REF_GPU_QPS), so vs_baseline >= 1.0 means the 5x target is met.
 
-Budget-aware ladder (round 4 — BENCH_r03 timed out with nothing emitted, so
-the structure is now guaranteed-result-first):
+Budget-aware ladder (round 4 structure — BENCH_r03 timed out with nothing
+emitted, so it is guaranteed-result-first; round-5 order — the top rung
+moved up once its staging was fixed. Fully warm, the whole ladder emits
+the fast32 number in ~20 s; measured 940.1k q/s at 19.4 s total wall,
+2026-08-20):
 
   1. ``medium`` — bf16 params + Pallas GRU, dense bf16 feed (536k q/s
                   r4). Runs FIRST in a watchdogged subprocess: across the
