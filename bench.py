@@ -109,12 +109,15 @@ Measurement notes:
   it — relay windows stall and recover on a minutes scale (a fully-dead
   14-minute window was observed 2026-08-20 minutes after a clean run), so
   patience is strictly better than rc=1. Two guards keep overtime honest:
-  attempts that die QUICKLY without a QPS line (import/relay-connect
-  crash, not a stall) back off 60 s and are bounded to 4 consecutive —
-  mirroring the safety net's retries<4 bound — and when the compilation
-  cache is cold the first overtime attempt gets a compile-sized 280 s
-  budget (a killed compile writes no cache, so 150 s tries against a cold
-  graph would burn the whole overtime window with zero chance of success).
+  a ROUND whose every config dies quickly without a QPS line
+  (import/relay-connect crash, not a stall — the f32 safe graph gets its
+  try every round as a separate failure surface) backs off 60 s, bounded
+  to 4 such rounds — mirroring the safety net's retries<4 bound — and
+  when no TPU child has ever completed against this compilation cache
+  (the .tpu_warm marker) the first overtime round gets compile-sized
+  280 s budgets (a killed compile writes no cache, so 150 s tries against
+  a cold graph would burn the whole overtime window with zero chance of
+  success).
 """
 
 from __future__ import annotations
@@ -159,6 +162,11 @@ OVERTIME_S = float(os.environ.get("VQA_BENCH_OVERTIME_S", 1800))
 # stops back-to-back respawns. Env-tunable only so the crash-bailout
 # regression test doesn't have to sleep real minutes.
 BACKOFF_S = float(os.environ.get("VQA_BENCH_BACKOFF_S", 60))
+# A failed attempt shorter than this is a crash (import ~25 s + an
+# immediate error), not a stall. Env-tunable so the regression test can
+# raise it and stay deterministic on slow machines (where even the crash
+# path can exceed 45 s of interpreter+jax startup).
+QUICKFAIL_S = float(os.environ.get("VQA_BENCH_QUICKFAIL_S", 45))
 # Minimum budget worth even starting a config attempt (subprocess startup +
 # JAX import is ~25 s through this container; a compile needs real time).
 MIN_ATTEMPT_S = {"safe": 90.0, "fast": 150.0, "medium": 120.0,
@@ -396,6 +404,20 @@ def attempt(cfg: str, budget_s: float) -> float | None:
         return None
     for line in (out or "").splitlines():
         if line.startswith("QPS "):
+            if os.environ.get("VQA_BENCH_PLATFORM") != "cpu":
+                # record that a TPU child completed against this cache:
+                # cache FILENAMES cannot distinguish TPU graphs from the
+                # entries CPU test children write into the same dir, so
+                # 'warm' budget decisions trust only this marker
+                try:
+                    os.makedirs(env["JAX_COMPILATION_CACHE_DIR"],
+                                exist_ok=True)
+                    with open(os.path.join(
+                            env["JAX_COMPILATION_CACHE_DIR"],
+                            ".tpu_warm"), "w"):
+                        pass
+                except OSError:
+                    pass
             return float(line.split()[1])
     log(f"config '{cfg}' exited rc={proc.returncode} without a QPS line")
     return None
@@ -423,8 +445,16 @@ def main():
     # writes nothing, so restarts don't accumulate).
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.join(_HERE, ".jax_cache"))
-    warm = os.path.isdir(cache_dir) and any(
-        f.startswith("jit_infer_chain") for f in os.listdir(cache_dir))
+    if os.environ.get("VQA_BENCH_PLATFORM") == "cpu":
+        # CPU (test) runs: cache filenames are trustworthy — only CPU
+        # children write here in that mode
+        warm = os.path.isdir(cache_dir) and any(
+            f.startswith("jit_infer_chain") for f in os.listdir(cache_dir))
+    else:
+        # TPU runs: filenames can't distinguish CPU-test-written entries
+        # from TPU graphs; trust only the marker a successful TPU child
+        # leaves behind (attempt())
+        warm = os.path.exists(os.path.join(cache_dir, ".tpu_warm"))
     log(f"compilation cache {'warm' if warm else 'cold'} at {cache_dir}")
 
     # Rung 1: medium first — the bf16+Pallas graph worth 1.55x the f32
@@ -457,18 +487,22 @@ def main():
     # today. It still runs only once a number is already held (medium is
     # the anchor) and with a reserve so a stall leaves room for a fast
     # attempt.
+    fast32_qps = None   # a MEASURED fast32 number (even if it lost)
     if (best and remaining() - 110.0 >= MIN_ATTEMPT_S["fast32"]
             and fast32_ok()):
-        qps = attempt("fast32", min(240.0, remaining() - 110.0))
-        if qps and qps > best[0]:
-            best = (qps, "fast32")
+        fast32_qps = attempt("fast32", min(240.0, remaining() - 110.0))
+        if fast32_qps and fast32_qps > best[0]:
+            best = (fast32_qps, "fast32")
 
     # Rung 3: fast — the B=16384 variant; worth -4..6% vs fast32 in the
-    # same window, so it runs only if fast32 is not already held. Bounded
-    # so one stall leaves room for the safety net, minus a reserve when
-    # NOTHING has landed yet (fast's compile is the variable one: 62-313 s
-    # observed cold for the same graph, ~2 s warm).
-    if not (best and best[1] == "fast32"):
+    # same window, so it runs only if fast32 has not MEASURED (a fast32
+    # number that lost to medium still counts: this window already
+    # showed the big-batch economics slower, so re-measuring variants of
+    # it wastes budget). Bounded so one stall leaves room for the safety
+    # net, minus a reserve when NOTHING has landed yet (fast's compile
+    # is the variable one: 62-313 s observed cold for the same graph,
+    # ~2 s warm).
+    if not fast32_qps:
         for watchdog in ((240.0, 150.0) if warm else (300.0,)):
             budget = min(watchdog, remaining() - (0.0 if best else 110.0))
             if budget < MIN_ATTEMPT_S["fast"]:
@@ -480,10 +514,11 @@ def main():
                     best = (qps, "fast")
                 break
 
-    # Second chance for the top rung: if fast32's own slot stalled (or
-    # medium had not landed yet) but a number is held and time remains,
-    # retry once — a hang burns leftover time, never the result.
-    if (best and best[1] != "fast32"
+    # Second chance for the top rung: if fast32 never MEASURED (its slot
+    # stalled, or medium had not landed yet to anchor it) but a number
+    # is held and time remains, retry once — a hang burns leftover time,
+    # never the result.
+    if (best and not fast32_qps
             and remaining() >= MIN_ATTEMPT_S["fast32"] and fast32_ok()):
         qps = attempt("fast32", remaining())
         if qps and qps > best[0]:
@@ -521,25 +556,44 @@ def main():
     # mid-compile, a killed compile writes no cache, and the whole
     # overtime window burns with zero chance of success).
     quick_fails = 0
+    overtime_round = 0
     while (not best and quick_fails < 4
            and time.monotonic() - T0 < min(OVERTIME_S, 6 * DEADLINE_S)):
+        overtime_round += 1
         log("overtime: nothing landed yet; re-rolling bounded attempts")
-        warm = os.path.isdir(cache_dir) and any(
-            f.startswith("jit_infer_chain") for f in os.listdir(cache_dir))
+        # Budget: the cache-FILENAME warm heuristic can be fooled by
+        # entries the CPU test children wrote into the same dir, so here
+        # only the .tpu_warm marker (a TPU child completed against this
+        # cache — written by attempt()) earns short budgets; otherwise
+        # the FIRST round gets compile-sized ones (a killed compile
+        # writes no cache, so short tries against a cold graph would
+        # burn the whole window with zero chance of success).
+        tpu_warm = os.path.exists(os.path.join(cache_dir, ".tpu_warm"))
+        budget = 150.0 if (tpu_warm or overtime_round > 1) else 280.0
+        round_quick = True   # every failure this round was a fast crash
         for cfg in ("medium", "safe"):
             t_at = time.monotonic()
-            qps = attempt(cfg, 150.0 if warm else 280.0)
+            qps = attempt(cfg, budget)
             if qps:
                 best = (qps, cfg)
                 break
-            if time.monotonic() - t_at < 45.0:
-                quick_fails += 1
-                log(f"overtime '{cfg}' died in "
-                    f"{time.monotonic() - t_at:.0f}s without a QPS line "
-                    f"({quick_fails}/4 quick failures); backing off "
-                    f"{BACKOFF_S:.0f}s")
-                time.sleep(BACKOFF_S)
-                break  # re-check the bail bound before spawning again
+            if time.monotonic() - t_at >= QUICKFAIL_S:
+                round_quick = False   # a stall, not a crash
+        if best:
+            break
+        # BOTH configs failed this round (the f32 safe graph gets its
+        # try every round — it is a different failure surface than the
+        # bf16/Pallas medium graph and exists for exactly this case). A
+        # round of pure fast crashes (import/relay-connect errors) backs
+        # off and counts toward the bail bound; a round containing a
+        # genuine stall resets it.
+        if round_quick:
+            quick_fails += 1
+            log(f"overtime round died quickly on every config "
+                f"({quick_fails}/4 quick-failure rounds); backing off "
+                f"{BACKOFF_S:.0f}s")
+            time.sleep(BACKOFF_S)
+        else:
             quick_fails = 0
 
     if best:

@@ -52,23 +52,18 @@ def test_bench_fast32_shaped_staging_lands():
     directly in its final dtype (no f32 temps). Pin the B=32768-shaped
     fast-config child end-to-end on CPU with tiny model dims: the batch
     axis is exactly the driver's fast32 shape."""
-    env = dict(
-        os.environ,
-        VQA_BENCH_CONFIG="fast",
-        VQA_BENCH_PLATFORM="cpu",
-        VQA_BENCH_BATCH="32768",
-        VQA_BENCH_NTOKEN="50", VQA_BENCH_ANS="16", VQA_BENCH_OBJS="4",
-        VQA_BENCH_VDIM="16", VQA_BENCH_QLEN="3", VQA_BENCH_EMBED="8",
-        VQA_BENCH_HIDDEN="16",
-        VQA_BENCH_ITERS="1", VQA_BENCH_REPS="2",
+    proc = _run_bench({
+        "VQA_BENCH_CONFIG": "fast",
+        "VQA_BENCH_BATCH": "32768",
+        "VQA_BENCH_NTOKEN": "50", "VQA_BENCH_ANS": "16",
+        "VQA_BENCH_OBJS": "4", "VQA_BENCH_VDIM": "16",
+        "VQA_BENCH_QLEN": "3", "VQA_BENCH_EMBED": "8",
+        "VQA_BENCH_HIDDEN": "16",
+        "VQA_BENCH_ITERS": "1",
         # force the direct-dtype staging branch despite the tiny dims (on
         # the chip it engages by size: two dense f32 temps > the HBM limit)
-        VQA_BENCH_DENSE_LIMIT="1",
-        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-    )
-    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                          env=env, capture_output=True, text=True,
-                          timeout=600)
+        "VQA_BENCH_DENSE_LIMIT": "1",
+    })
     assert proc.returncode == 0, proc.stderr[-2000:]
     qps_lines = [ln for ln in proc.stdout.splitlines()
                  if ln.startswith("QPS ")]
@@ -87,12 +82,16 @@ def test_bench_overtime_quick_crash_bailout():
         "VQA_BENCH_DEADLINE_S": "40",     # rungs exhaust fast
         "VQA_BENCH_OVERTIME_S": "600",    # overtime window is open...
         "VQA_BENCH_BACKOFF_S": "1",       # ...but don't sleep real minutes
+        # any failure counts as quick, however slow this machine is
+        "VQA_BENCH_QUICKFAIL_S": "600",
     }, timeout=580)
     assert proc.returncode == 1           # no number is obtainable
-    assert "quick failures" in proc.stderr
+    assert "quick-failure rounds" in proc.stderr
     assert "backing off" in proc.stderr
     # bounded: at most 4 quick-fail overtime rounds, then bail
     assert proc.stderr.count("re-rolling bounded attempts") <= 4
+    # the safe config got its separate-failure-surface try each round
+    assert "attempting config 'safe'" in proc.stderr
     assert "FAILED: no config produced a number" in proc.stderr
 
 

@@ -207,6 +207,28 @@ def test_loader_fixed_shapes_and_tail(root):
     assert total == len(ds)
 
 
+def test_loader_abandoned_prefetch_iterator_stops_producer(root):
+    """Breaking out of (or GC-ing) a prefetching iterator must shut the
+    producer thread down — otherwise every abandoned iterator leaks a
+    thread blocked on q.put pinning prefetch+1 assembled batches."""
+    import threading
+    import time
+
+    ds = _ds(root, "vqa")
+    before = threading.active_count()
+    it = iter(Loader(ds, 4, shuffle=True, seed=7, prefetch=2))
+    next(it)                       # producer running, queue filling
+    assert threading.active_count() > before
+    it.close()                     # GeneratorExit -> finally -> stop flag
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before, "producer thread leaked"
+    # and a fully-consumed iterator still terminates cleanly
+    assert sum(int(b["nvalid"])
+               for b in Loader(ds, 4, prefetch=2)) == len(ds)
+
+
 def test_loader_shuffle_determinism(root):
     ds = _ds(root, "vqa")
     ids1 = [b["id"].tolist() for b in Loader(ds, 4, shuffle=True, seed=3)]

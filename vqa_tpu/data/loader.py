@@ -185,32 +185,53 @@ class Loader:
             yield batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Iterate with background prefetch (daemon thread + bounded queue)."""
+        """Iterate with background prefetch (daemon thread + bounded queue).
+
+        Abandoning the iterator early (``break``, GC) shuts the producer
+        down: its puts poll a stop flag, and the consumer's ``finally``
+        (run on GeneratorExit) sets it — otherwise every abandoned
+        iterator would leak a thread blocked on ``q.put`` pinning up to
+        prefetch+1 assembled batches (gigabytes at serving shapes).
+        """
         if self.prefetch <= 0:
             yield from self._batches()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    if not put(b):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2,
