@@ -75,7 +75,19 @@ def available() -> bool:
 
 
 def _threads() -> int:
-    return min(8, os.cpu_count() or 1)
+    """Worker threads for the native gathers/scatters.
+
+    Default: up to 32 (each thread sustains ~4-5 GB/s of memcpy-bound
+    assembly — PERF.md "Feed economics" — so an 8-thread cap would
+    ceiling the int8 feed at ~450k questions/s, below the 941k chip
+    rate; 32 leaves headroom past it while staying well under a
+    production host's core count). VQA_NATIVE_THREADS overrides for
+    machines where the feed should be confined.
+    """
+    env = os.environ.get("VQA_NATIVE_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(32, os.cpu_count() or 1)
 
 
 def gather_rows(src: np.ndarray, rows: np.ndarray,
