@@ -116,6 +116,52 @@ def test_full_train_loop_and_eval(root, tmp_path):
     assert "train/loss" in tags and "train/eval" in tags
 
 
+def test_epoch_checkpoint_best_score_and_resume_threshold(root, tmp_path):
+    """Two invariants of best-model tracking (round-5 review fixes):
+
+    1. epoch_N.ckpt stores the POST-validation best_score — saving it
+       pre-val would let a resume from the epoch that set a new best
+       later overwrite best_model.ckpt with a worse model;
+    2. a resumed best_score stays the gate even when best_model.ckpt is
+       missing: the first validation materializes the file for
+       downstream val/decode but must NOT adopt its (lower) score as
+       the threshold.
+    """
+    from vqa_tpu.training.checkpoint import load_checkpoint
+
+    model = _model(root)
+    train_loader, val_loader = _loaders(root)
+    logger = Logger("t_best", root=str(tmp_path))
+    save_path = logger.save_path
+    # start the threshold below any reachable score so epoch 0's val is
+    # guaranteed to set a new best (the mini-split can legitimately score
+    # 0.0) — pre-fix, epoch_0.ckpt would then store the stale -1.0
+    train(model=model, lr=2e-3, train_loader=train_loader,
+          val_loader=val_loader, logger=logger, save_path=save_path,
+          num_epoches=1, checkpoint=0, seed=0, best_score=-1.0)
+    best_meta = load_checkpoint(os.path.join(save_path, "best_model.ckpt"))
+    epoch_meta = load_checkpoint(os.path.join(save_path, "epoch_0.ckpt"))
+    # epoch 0's validation set the first best; the epoch checkpoint must
+    # carry that same (post-validation) threshold forward for resume
+    assert epoch_meta["best_score"] == best_meta["best_score"]
+    assert epoch_meta["best_score"] > -1.0
+
+    # resume into a dir with no best file and an already-high threshold:
+    # the file is materialized, the threshold is not lowered
+    logger2 = Logger("t_best2", root=str(tmp_path))
+    save_path2 = logger2.save_path
+    train(model=model, lr=2e-3, train_loader=train_loader,
+          val_loader=val_loader, logger=logger2, save_path=save_path2,
+          num_epoches=1, checkpoint=0, seed=0, best_score=999.0)
+    best2 = os.path.join(save_path2, "best_model.ckpt")
+    assert os.path.exists(best2)            # materialized for downstream
+    assert load_checkpoint(best2)["best_score"] < 999.0  # its true score
+    # the carried threshold (what a further resume would read from the
+    # epoch checkpoint) kept gating at the resumed value
+    assert load_checkpoint(
+        os.path.join(save_path2, "epoch_0.ckpt"))["best_score"] == 999.0
+
+
 def test_checkpoint_roundtrip(root, tmp_path):
     model = _model(root)
     train_loader, _ = _loaders(root)

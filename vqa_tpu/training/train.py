@@ -21,7 +21,9 @@ from vqa_tpu.training import optim as optim_lib
 from vqa_tpu.training.state import (
     TrainState, create_train_state, make_train_step, make_eval_step,
 )
-from vqa_tpu.training.checkpoint import save_checkpoint
+from vqa_tpu.training.checkpoint import (
+    save_checkpoint, save_checkpoint_async, wait_for_checkpoints,
+)
 from vqa_tpu.training.logging import Logger, MetricsWriter
 from vqa_tpu.parallel.mesh import shard_batch
 
@@ -250,15 +252,22 @@ def train(model: VQAModel,
                         f"score: {eval_score:.10f} ({t})")
             writer.add_scalar("train/eval", eval_score, epoch)
             best_path = os.path.join(save_path, "best_model.ckpt")
-            # strict > like the reference (train.py:79), but always materialize
-            # a best checkpoint on the first validation so downstream val/decode
-            # never find it missing (score can legitimately be 0.0 early)
-            if eval_score > best_score or (is_main and
-                                           not os.path.exists(best_path)):
+            # strict > like the reference (train.py:79)
+            if eval_score > best_score:
                 if is_main:
                     save_checkpoint(best_path, state, epoch, eval_score)
                 best_score = eval_score
                 best_epoch = epoch
+            elif is_main and not os.path.exists(best_path):
+                # materialize a best checkpoint on the first validation so
+                # downstream val/decode never find it missing (score can
+                # legitimately be 0.0 early) — WITHOUT adopting its score
+                # as the threshold: a resumed best_score must keep gating
+                # (else a worse model could later overwrite a better best),
+                # and the in-memory best_score/best_epoch update must stay
+                # host-independent (this branch is is_main-only; updating
+                # them here would diverge the hosts' thresholds)
+                save_checkpoint(best_path, state, epoch, eval_score)
             logger.show(f"[Result] best epoch: {best_epoch}, "
                         f"score: {best_score:.10f} / {bound:.10f}")
         else:
@@ -269,12 +278,14 @@ def train(model: VQAModel,
             # best-by-train-caption-loss instead (stored as -loss so the
             # "higher is better" best_score resume semantics still hold).
             best_path = os.path.join(save_path, "best_model.ckpt")
-            if (-avg_loss) > best_score or (is_main and
-                                            not os.path.exists(best_path)):
+            if (-avg_loss) > best_score:
                 if is_main:
                     save_checkpoint(best_path, state, epoch, -avg_loss)
                 best_score = -avg_loss
                 best_epoch = epoch
+            elif is_main and not os.path.exists(best_path):
+                # materialize-only, same rationale as the scored branch
+                save_checkpoint(best_path, state, epoch, -avg_loss)
             logger.show(f"[Result] best epoch: {best_epoch}, "
                         f"cap loss: {-best_score:.10f}")
         return best_score, best_epoch
@@ -282,9 +293,34 @@ def train(model: VQAModel,
     from vqa_tpu.data.loader import prefetch_to_device
 
     for epoch in range(start_epoch, num_epoches):
+        # join the previous epoch's async checkpoint writes here (not at
+        # its end): the epoch save overlaps this epoch's first steps, and
+        # outstanding host-state copies stay bounded to one epoch's worth
+        wait_for_checkpoints()
         start = time.time()
         avg_loss = 0.0
         prev_loss = 0.0
+        i = -1   # loop var survives the loop; -1 = empty loader guard
+        # Metric fetch is deferred ONE step: float(metric) blocks until
+        # the step completes, so fetching step i-1's scalars only after
+        # step i has been dispatched keeps the device busy through the
+        # host-side logging + loader work instead of adding it to every
+        # step as a bubble. Value/order parity with the reference's
+        # per-step .item() is exact — drain() runs before every reader
+        # of avg_loss (interval log, validation, epoch end).
+        pending = None   # (gstep, device metrics) not yet fetched
+
+        def drain():
+            nonlocal avg_loss, pending
+            if pending is None:
+                return
+            pgstep, pmetrics = pending
+            pending = None
+            pmetrics = jax.device_get(pmetrics)
+            writer.add_scalars({k: float(v) for k, v in pmetrics.items()
+                                if k != "loss"}, pgstep)
+            avg_loss += float(pmetrics["loss"])
+
         # device transfer runs ahead of compute (double-buffered)
         feed = prefetch_to_device(
             (model_batch(b) for b in train_loader), mesh=mesh, size=2,
@@ -301,11 +337,11 @@ def train(model: VQAModel,
                     lambda x: x.block_until_ready(), state.params)
                 jax.profiler.stop_trace()
                 profile_dir = None  # capture once
-            writes = {k: float(v) for k, v in metrics.items() if k != "loss"}
-            writer.add_scalars(writes, gstep)
-            avg_loss += float(metrics["loss"])
+            drain()                      # step i-1's scalars, overlapped
+            pending = (gstep, metrics)
 
             if checkpoint and i % checkpoint == 0 and i != 0:
+                drain()                  # include step i — exact parity
                 t = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
                 logger.write(f"[Batch {i}] loss: "
                              f"{(avg_loss - prev_loss) / checkpoint:.4f} ({t})")
@@ -318,23 +354,41 @@ def train(model: VQAModel,
             val_every = (train_loader.num_samples if val_checkpoint in (1, True)
                          else int(val_checkpoint))
             if val_every and i != 0 and i % val_every == 0:
-                best_score, best_epoch = val(avg_loss / steps_per_epoch,
+                # mean over the steps actually run so far — dividing the
+                # partial sum by steps_per_epoch would deflate the value
+                # and, in caption-only runs (best tracked by -avg_loss),
+                # freeze best_model.ckpt at early-epoch states
+                drain()
+                best_score, best_epoch = val(avg_loss / (i + 1),
                                              best_score, best_epoch, epoch,
                                              start)
                 if is_main:
-                    save_checkpoint(os.path.join(
+                    # interval checkpoints write to unique paths, so the
+                    # serialize+fsync can run off-thread without ordering
+                    # hazards (best_model.ckpt saves stay synchronous: two
+                    # overlapped writers to ONE path could land reordered)
+                    save_checkpoint_async(os.path.join(
                         save_path, f"epoch_{epoch}_batch_{i}.ckpt"), state,
                         epoch, best_score)
 
-        if is_main:
-            save_checkpoint(os.path.join(save_path, f"epoch_{epoch}.ckpt"),
-                            state, epoch, best_score)
-        best_score, best_epoch = val(avg_loss / steps_per_epoch, best_score,
+        # validate FIRST, then write the epoch checkpoint: it stores
+        # best_score for resume, and saving pre-validation would understate
+        # the threshold whenever this very epoch set a new best (a resume
+        # from it could then let a worse model overwrite best_model.ckpt)
+        drain()
+        best_score, best_epoch = val(avg_loss / max(i + 1, 1), best_score,
                                      best_epoch, epoch, start)
+        if is_main:
+            # off-thread like the interval saves (unique path per epoch);
+            # the join below bounds outstanding writes to one epoch's worth
+            save_checkpoint_async(
+                os.path.join(save_path, f"epoch_{epoch}.ckpt"),
+                state, epoch, best_score)
         if epoch >= warm_up and step_size != 0:
             factor = optim_lib.steplr_factor(epoch + 1, warm_up, step_size, gamma)
             logger.show(f"learning rate factor: {factor}")
 
+    wait_for_checkpoints()
     writer.close()
     return state
 
