@@ -400,6 +400,40 @@ def test_loader_length_bucketing(root):
     assert sorted(seen) == list(range(len(ds)))
 
 
+def test_loader_bucketing_covers_longest_caption(root):
+    """Bounds that don't reach the longest caption must be extended, not
+    silently truncate real tokens into the last bucket (the CLI appends
+    c_len as a guard; the library enforces it for direct users)."""
+    ds = _ds(root, "vqa-e")
+    max_len = int(np.max(np.asarray(ds.cap_lens)))
+    assert max_len > 4  # the synthetic split has captions beyond the bound
+    loader = Loader(ds, batch_size=4, shuffle=False,
+                    length_bucket=True, bucket_bounds=(4,))
+    assert loader.bucket_bounds[-1] >= max_len
+    for b in loader:
+        n = int(b["nvalid"])
+        t = b["c"].shape[1]
+        # no real token lost: every row's cap_len fits its batch's axis
+        assert np.all(b["cap_len"][:n]
+                      <= (t if t == root["c_len"] else t - 1))
+
+
+def test_split_microbatches_passes_scalar_bookkeeping():
+    """Raw Loader batches (with the scalar nvalid) split directly —
+    scalars replicate into every microbatch."""
+    from vqa_tpu.parallel.pipeline import split_microbatches
+
+    batch = {"img": np.arange(8 * 3).reshape(8, 3),
+             "nvalid": np.int32(7)}
+    micro = split_microbatches(batch, 4)
+    assert len(micro) == 4
+    for i, m in enumerate(micro):
+        assert m["img"].shape == (2, 3)
+        assert int(m["nvalid"]) == 7
+    np.testing.assert_array_equal(
+        np.concatenate([m["img"] for m in micro]), batch["img"])
+
+
 def test_loader_bucketing_deterministic(root):
     ds = _ds(root, "vqa-e")
     kw = dict(batch_size=4, shuffle=True, length_bucket=True,

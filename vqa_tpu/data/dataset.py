@@ -125,11 +125,9 @@ class VQADataset:
         out = native.densify_answers_native(dicts, self.ans_dim)
         if out is not None:
             return out
-        out = np.zeros((len(indices), self.ans_dim), np.float32)
-        for row, d in enumerate(dicts):
-            for key, value in d.items():
-                out[row, int(key)] = min(value, 3) / 3.0
-        return out
+        from vqa_tpu.data.tokenizer import soft_answer_scores
+        return np.asarray([soft_answer_scores(d, self.ans_dim)
+                           for d in dicts], np.float32)
 
     # -- batched fetch -----------------------------------------------------
     def _vqa_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:

@@ -82,6 +82,15 @@ class Loader:
                 "one of them")
             assert getattr(dataset, "cap_lens", None) is not None, (
                 "length_bucket needs dataset.cap_lens (caption datasets)")
+            # the loss-equivalence contract requires the top bucket to
+            # COVER the longest caption: a cap_len above the last bound
+            # would land in the last bucket and have real tokens cut by
+            # the bound+1 truncation (main.py appends c_len as a guard;
+            # enforce it here too for direct library users)
+            max_len = int(np.max(np.asarray(dataset.cap_lens)[:self.length]))
+            if self.bucket_bounds[-1] < max_len:
+                self.bucket_bounds = tuple(
+                    sorted(set(self.bucket_bounds) | {max_len}))
 
     @classmethod
     def for_process(cls, dataset, batch_size, **kw):
@@ -253,13 +262,25 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2,
     import jax
     from vqa_tpu.parallel.mesh import shard_batch
 
+    # bookkeeping entries that must stay HOST values even when keys is
+    # None: nvalid differs per host (wrap-padded tail shards), so
+    # device-putting it under a replicated sharding on a multi-host mesh
+    # would build a "replicated" global array with inconsistent
+    # process-local values — silent cross-host divergence; and consumers
+    # do int(batch.pop("nvalid")) on the host anyway
+    _BOOKKEEPING = ("nvalid", "id")
+
+    def wanted(k, v):
+        if keys is not None:
+            return k in keys
+        return k not in _BOOKKEEPING and np.ndim(v) > 0
+
     def put(batch):
         if mesh is None:
-            return {k: (jax.device_put(np.asarray(v))
-                        if keys is None or k in keys else v)
+            return {k: (jax.device_put(np.asarray(v)) if wanted(k, v)
+                        else v)
                     for k, v in batch.items()}
-        model_part = {k: v for k, v in batch.items()
-                      if keys is None or k in keys}
+        model_part = {k: v for k, v in batch.items() if wanted(k, v)}
         out = dict(batch)
         out.update(shard_batch(mesh, model_part))
         return out

@@ -31,6 +31,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    # n_data >= 1 catches n_model > device count early (it would pass the
+    # product check as 0 * n_model and build an empty grid whose failure
+    # surfaces later as an opaque ZeroDivisionError/XLA error)
+    assert n_data >= 1 and n_model >= 1, \
+        f"degenerate mesh {n_data}x{n_model} on {len(devices)} devices"
     assert n_data * n_model <= len(devices), \
         f"need {n_data * n_model} devices, have {len(devices)}"
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

@@ -88,11 +88,17 @@ class TwoStagePipeline:
 
 def split_microbatches(batch: Dict[str, np.ndarray], n_micro: int
                        ) -> List[Dict[str, np.ndarray]]:
-    """Split a host batch into n_micro equal microbatches along axis 0."""
-    size = next(iter(batch.values())).shape[0]
+    """Split a host batch into n_micro equal microbatches along axis 0.
+
+    Scalar bookkeeping entries (e.g. the Loader's ``nvalid`` np.int32)
+    are replicated into every microbatch unchanged — raw loader batches
+    work directly, not just ``model_batch``-stripped ones.
+    """
+    size = next(v.shape[0] for v in batch.values() if np.ndim(v) > 0)
     assert size % n_micro == 0, f"batch {size} not divisible by {n_micro}"
     step = size // n_micro
-    return [{k: v[i * step:(i + 1) * step] for k, v in batch.items()}
+    return [{k: (v[i * step:(i + 1) * step] if np.ndim(v) > 0 else v)
+             for k, v in batch.items()}
             for i in range(n_micro)]
 
 
